@@ -1,0 +1,44 @@
+"""enstop_tpu — TPU-native ensemble topic modeling (pLSA + EnsTop capabilities).
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of lmcinnes/enstop: fast
+pLSA via matmul-form EM on the MXU, mesh-sharded and streamed variants, and
+ensemble topic modeling with stable-topic clustering.
+"""
+
+from .models.plsa import PLSA
+from .ops.metrics import coherence, log_lift, mean_coherence, mean_log_lift
+from .utils import normalize, standardize_input
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PLSA",
+    "coherence",
+    "mean_coherence",
+    "log_lift",
+    "mean_log_lift",
+    "normalize",
+    "standardize_input",
+]
+
+
+def __getattr__(name):
+    # Lazy exports keep import light; the full surface matches enstop's __init__
+    # (reference __init__.py:1-7) plus TPU-specific additions.
+    if name in ("StreamedPLSA",):
+        from .models.streamed import StreamedPLSA
+
+        return StreamedPLSA
+    if name in ("BlockParallelPLSA", "DistributedPLSA"):
+        from .models import mesh as _mesh_models
+
+        return getattr(_mesh_models, name)
+    if name in ("TPUPLSA", "GPUPLSA"):
+        from .models.accelerated import TPUPLSA
+
+        return TPUPLSA
+    if name == "EnsembleTopics":
+        from .models.ensemble import EnsembleTopics
+
+        return EnsembleTopics
+    raise AttributeError(name)

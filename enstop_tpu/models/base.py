@@ -1,0 +1,89 @@
+"""Shared sklearn-estimator machinery for all topic models.
+
+The reference repeats validation, zero-row handling and the ``coherence()`` /
+``log_lift()`` methods on every estimator (plsa.py:1000-1285, streamed_plsa.py:1042-
+1337, enstop_.py:587-927); here they live once on a mixin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import csr_matrix, issparse
+from sklearn.base import BaseEstimator, TransformerMixin
+from sklearn.utils import check_array
+
+from ..ops.metrics import coherence, log_lift, mean_coherence, mean_log_lift
+from ..utils import _check_sample_weight, standardize_input
+
+
+def validate_corpus(X, sample_weight=None):
+    """check_array + standardize_input + non-negativity check + CSR coercion
+    (reference plsa.py:1138-1149)."""
+    X = check_array(X, accept_sparse="csr")
+    X = standardize_input(X)
+    if not issparse(X):
+        X = csr_matrix(X)
+    sample_weight = _check_sample_weight(sample_weight, X, dtype=np.float32)
+    if np.any(X.data < 0):
+        raise ValueError("PLSA is only valid for matrices with non-negative entries")
+    return X, sample_weight
+
+
+def split_zero_rows(X):
+    """Remove all-zero document rows before fitting (reference plsa.py:1151-1159).
+
+    Returns ``(X_nonzero, good_rows_mask, any_removed)``.
+    """
+    row_sums = np.asarray(X.sum(axis=1)).ravel()
+    good_rows = row_sums != 0
+    if not np.all(good_rows):
+        return X[good_rows], good_rows, True
+    return X, good_rows, False
+
+
+def reinsert_zero_rows(embedding, good_rows, n_rows, k):
+    """Re-insert zero embeddings for removed rows (reference plsa.py:1173-1177)."""
+    out = np.zeros((n_rows, k), dtype=embedding.dtype)
+    out[good_rows] = embedding
+    return out
+
+
+class TopicModelBase(BaseEstimator, TransformerMixin):
+    """Base class: fit plumbing + topic-quality metrics.
+
+    Fitted attributes (identical contract to the reference):
+    ``components_`` (k, n_words), ``embedding_`` (n_docs, k), ``training_data_``.
+    """
+
+    def fit(self, X, y=None, **fit_params):
+        self.fit_transform(X, **fit_params)
+        return self
+
+    # -- topic-quality metrics (reference plsa.py:1222-1285) -------------------
+
+    def _n_topics_fitted(self):
+        return self.components_.shape[0]
+
+    def coherence(self, topic_num=None, n_words=20):
+        """Average (or single-topic) coherence of the fitted topics."""
+        if not isinstance(topic_num, int) and topic_num is not None:
+            raise ValueError("Topic number must be an integer or None.")
+        if topic_num is None:
+            return mean_coherence(self.components_, self.training_data_, n_words)
+        if 0 <= topic_num < self._n_topics_fitted():
+            return coherence(self.components_, topic_num, self.training_data_, n_words)
+        raise ValueError(
+            "Topic number must be in range 0 to {}".format(self._n_topics_fitted())
+        )
+
+    def log_lift(self, topic_num=None, n_words=20):
+        """Average (or single-topic) log lift of the fitted topics."""
+        if not isinstance(topic_num, int) and topic_num is not None:
+            raise ValueError("Topic number must be an integer or None.")
+        if topic_num is None:
+            return mean_log_lift(self.components_, self.training_data_, n_words)
+        if 0 <= topic_num < self._n_topics_fitted():
+            return log_lift(self.components_, topic_num, self.training_data_, n_words)
+        raise ValueError(
+            "Topic number must be in range 0 to {}".format(self._n_topics_fitted())
+        )

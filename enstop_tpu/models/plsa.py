@@ -1,0 +1,97 @@
+"""PLSA estimator — the canonical single-model API (reference plsa.py:1000-1285).
+
+sklearn-compatible: ``fit`` / ``fit_transform`` / ``transform``; fitted attributes
+``components_``, ``embedding_``, ``training_data_``.  The EM itself runs as one
+compiled on-device program (fused Pallas on TPU, XLA matmuls elsewhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import coo_matrix, issparse
+from sklearn.utils import check_array, check_random_state
+
+from ..ops.driver import plsa_fit, plsa_refit
+from ..utils import _check_sample_weight
+from .base import TopicModelBase, reinsert_zero_rows, split_zero_rows, validate_corpus
+
+
+class PLSA(TopicModelBase):
+    """Probabilistic Latent Semantic Analysis, TPU-native.
+
+    Parameters mirror the reference estimator (plsa.py:1076-1096); ``backend``
+    selects the execution path (``"auto"`` = fused Pallas kernel on TPU, XLA
+    matmuls otherwise).
+
+    ``e_step_thresh`` is accepted for drop-in parity; the default (1e-32) is a
+    numerical no-op in f32 and the fast paths do not apply the cutoff (see
+    ops/em.py).
+    """
+
+    def __init__(
+        self,
+        n_components=10,
+        init="random",
+        n_iter=100,
+        n_iter_per_test=10,
+        tolerance=0.001,
+        e_step_thresh=1e-32,
+        transform_random_seed=42,
+        random_state=None,
+        backend="auto",
+    ):
+        self.n_components = n_components
+        self.init = init
+        self.n_iter = n_iter
+        self.n_iter_per_test = n_iter_per_test
+        self.tolerance = tolerance
+        self.e_step_thresh = e_step_thresh
+        self.transform_random_seed = transform_random_seed
+        self.random_state = random_state
+        self.backend = backend
+
+    def fit_transform(self, X, y=None, sample_weight=None):
+        """Fit and return the document embedding ``P(z|d)``."""
+        X, sample_weight = validate_corpus(X, sample_weight)
+        data_for_fitting, good_rows, zero_rows_found = split_zero_rows(X)
+
+        U, V = plsa_fit(
+            data_for_fitting,
+            self.n_components,
+            sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
+            init=self.init,
+            n_iter=self.n_iter,
+            n_iter_per_test=self.n_iter_per_test,
+            tolerance=self.tolerance,
+            e_step_thresh=self.e_step_thresh,
+            random_state=self.random_state,
+            backend=self.backend,
+        )
+
+        if zero_rows_found:
+            self.embedding_ = reinsert_zero_rows(U, good_rows, X.shape[0], self.n_components)
+        else:
+            self.embedding_ = U
+        self.components_ = V
+        self.training_data_ = X
+        return self.embedding_
+
+    def transform(self, X, y=None):
+        """Embed new documents against the fitted topics (refit of P(z|d) only,
+        reference plsa.py:1184-1221)."""
+        X = check_array(X, accept_sparse="csr")
+        random_state = check_random_state(self.transform_random_seed)
+        if not issparse(X):
+            X = coo_matrix(X)
+        sample_weight = _check_sample_weight(None, X, dtype=np.float32)
+
+        return plsa_refit(
+            X,
+            self.components_,
+            sample_weight=sample_weight,
+            n_iter=50,
+            n_iter_per_test=5,
+            tolerance=0.001,
+            random_state=random_state,
+            backend=self.backend,
+        )

@@ -1,0 +1,177 @@
+"""High-level fit/refit drivers: host-side orchestration around the compiled loops.
+
+Equivalent of the reference's ``plsa_fit`` / ``plsa_refit`` wrappers (plsa.py:643-730,
+923-997): initialize factors, lay the data out for the device, run the compiled EM
+loop, undo padding.  Unlike the reference's host-driven loops, the entire EM iteration
+(including convergence tests) is one compiled program; the host sees only the final
+factors (SURVEY.md §3.6: the reference GPU path pays a host round-trip per test).
+
+Backends
+--------
+``"xla"``     pure-XLA matmul EM (works on CPU and TPU)
+``"pallas"``  fused single-pass Pallas TPU kernel (X read once per EM iteration)
+``"auto"``    pallas on TPU, xla elsewhere
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.utils import check_random_state
+
+from . import em as em_ops
+from .data import pad_dense_counts, pad_factors, pad_vector, round_up, unpad_factors
+from .fit import em_fit_loop
+from .init import plsa_init
+
+__all__ = ["plsa_fit", "plsa_refit", "resolve_backend"]
+
+
+def resolve_backend(backend="auto"):
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _get_steps(backend):
+    """Return (em_step, refit_step, ll_fn) for a backend; signatures match
+    :func:`enstop_tpu.ops.em.em_step_dense` etc."""
+    if backend == "xla":
+        return (
+            em_ops.em_step_dense,
+            em_ops.refit_step_dense,
+            em_ops.log_likelihood_dense,
+        )
+    if backend == "pallas":
+        from . import pallas_em
+
+        return (
+            pallas_em.em_step_fused,
+            pallas_em.refit_step_fused,
+            pallas_em.log_likelihood_fused,
+        )
+    raise ValueError("Unrecognized backend {!r}".format(backend))
+
+
+@lru_cache(maxsize=64)
+def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit):
+    em_step, refit_step, ll_fn = _get_steps(backend)
+
+    @jax.jit
+    def run(X, zd, wz, w, tol):
+        sw = w if weighted else None
+
+        if refit:
+            def step(state):
+                new_zd, ll = refit_step(X, state[0], state[1], sample_weight=sw)
+                return (new_zd, state[1]), ll
+        else:
+            def step(state):
+                new_zd, new_wz, ll = em_step(X, state[0], state[1], sample_weight=sw)
+                return (new_zd, new_wz), ll
+
+        def ll_of(state):
+            return ll_fn(X, state[0], state[1], sample_weight=sw)
+
+        (zd_f, wz_f), steps, final_ll = em_fit_loop(
+            step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol
+        )
+        return zd_f, wz_f, steps, final_ll
+
+    return run
+
+
+def _layout_multiples(backend, n, m):
+    if backend == "pallas":
+        from .pallas_em import pick_block_shape
+
+        bd, bw = pick_block_shape(n, m)
+        return bd, bw
+    return 8, 128
+
+
+def plsa_fit(
+    X,
+    k,
+    sample_weight=None,
+    init="random",
+    n_iter=100,
+    n_iter_per_test=10,
+    tolerance=0.001,
+    e_step_thresh=1e-32,
+    random_state=None,
+    backend="auto",
+    x_dtype=np.float32,
+    return_info=False,
+):
+    """Fit pLSA factors ``(P(z|d), P(w|z))`` to a (sparse or dense) count matrix.
+
+    Mirrors the reference driver (plsa.py:643-730).  ``e_step_thresh`` is accepted
+    for API parity; the matmul-form kernels treat it as a numerical no-op (see
+    ops/em.py docstring) — the default 1e-32 never fires in f32.
+    """
+    rng = check_random_state(random_state)
+    backend = resolve_backend(backend)
+    p_z_given_d, p_w_given_z = plsa_init(X, k, init=init, rng=rng)
+
+    rm, cm = _layout_multiples(backend, *X.shape)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=x_dtype)
+    zd, wz = pad_factors(p_z_given_d, p_w_given_z, Xd.shape[0], Xd.shape[1])
+
+    weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))
+    w = pad_vector(
+        np.asarray(sample_weight, dtype=np.float32) if weighted else np.ones(n, np.float32),
+        Xd.shape[0],
+    )
+
+    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, False)
+    zd_f, wz_f, steps, final_ll = run(Xd, zd, wz, w, jnp.float32(tolerance))
+    zd_out, wz_out = unpad_factors(np.asarray(zd_f), np.asarray(wz_f), n, m, k)
+    if return_info:
+        return zd_out, wz_out, {"n_steps": int(steps), "log_likelihood": float(final_ll)}
+    return zd_out, wz_out
+
+
+def plsa_refit(
+    X,
+    topics,
+    sample_weight=None,
+    n_iter=50,
+    n_iter_per_test=10,
+    tolerance=0.005,
+    e_step_thresh=1e-32,
+    random_state=None,
+    backend="auto",
+    x_dtype=np.float32,
+):
+    """Fit only ``P(z|d)`` against frozen ``topics`` (reference plsa.py:923-997).
+
+    Note: the reference's refit convergence test is gated on a positive
+    log-likelihood (plsa.py:913) which never holds, so it always runs all
+    ``n_iter`` iterations; here the relative-tolerance test actually works, which
+    can only stop earlier at equivalent quality.
+    """
+    rng = check_random_state(random_state)
+    backend = resolve_backend(backend)
+    k = topics.shape[0]
+
+    p_z_given_d = rng.rand(X.shape[0], k)
+    p_z_given_d /= p_z_given_d.sum(axis=1, keepdims=True)
+    p_z_given_d = p_z_given_d.astype(np.float32)
+
+    rm, cm = _layout_multiples(backend, *X.shape)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=x_dtype)
+    zd, wz = pad_factors(p_z_given_d, np.asarray(topics, dtype=np.float32), Xd.shape[0], Xd.shape[1])
+
+    weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))
+    w = pad_vector(
+        np.asarray(sample_weight, dtype=np.float32) if weighted else np.ones(n, np.float32),
+        Xd.shape[0],
+    )
+
+    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, True)
+    zd_f, _, _, _ = run(Xd, zd, wz, w, jnp.float32(tolerance))
+    return np.asarray(zd_f)[:n, :k]

@@ -1,0 +1,110 @@
+"""PLSA estimator: sklearn contract, fit quality, zero-row handling, transform."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import oracle
+from conftest import make_corpus
+from enstop_tpu import PLSA
+from enstop_tpu.ops.driver import plsa_fit
+from enstop_tpu.ops.init import plsa_init
+
+
+def test_fit_transform_shapes_and_probabilities(small_corpus):
+    model = PLSA(n_components=5, random_state=0, n_iter=30)
+    emb = model.fit_transform(sp.csr_matrix(small_corpus))
+    n, m = small_corpus.shape
+    assert emb.shape == (n, 5)
+    assert model.components_.shape == (5, m)
+    assert model.embedding_ is emb
+    # rows are probability distributions
+    np.testing.assert_allclose(emb.sum(axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(model.components_.sum(axis=1), 1.0, atol=1e-4)
+    assert (emb >= 0).all() and (model.components_ >= 0).all()
+
+
+def test_fit_matches_oracle_trajectory(small_corpus):
+    """Full driver (padding included) must match the reference-semantics oracle."""
+    X = small_corpus
+    rows, cols, vals = oracle.to_coo(X)
+    pzd0, pwz0 = plsa_init(X, 4, rng=np.random.RandomState(7))
+    want_zd, want_wz, want_steps, _ = oracle.fit(
+        rows, cols, vals, pzd0, pwz0, *X.shape, n_iter=25, n_iter_per_test=5
+    )
+    got_zd, got_wz, info = plsa_fit(
+        sp.csr_matrix(X), 4, init=(pzd0, pwz0),
+        n_iter=25, n_iter_per_test=5, random_state=0, return_info=True,
+    )
+    assert info["n_steps"] == want_steps
+    np.testing.assert_allclose(got_zd, want_zd, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(got_wz, want_wz, rtol=5e-3, atol=1e-5)
+
+
+def test_zero_rows_are_reinserted(small_corpus):
+    X = small_corpus.copy()
+    X[3] = 0
+    X[17] = 0
+    model = PLSA(n_components=4, random_state=0, n_iter=15)
+    emb = model.fit_transform(sp.csr_matrix(X))
+    assert emb.shape[0] == X.shape[0]
+    assert np.all(emb[3] == 0) and np.all(emb[17] == 0)
+    assert not np.all(emb[4] == 0)
+
+
+def test_negative_input_rejected(small_corpus):
+    X = small_corpus.copy()
+    X[0, 0] = -1
+    with pytest.raises(ValueError, match="non-negative"):
+        PLSA(n_components=3).fit(sp.csr_matrix(X))
+
+
+def test_transform_embeds_new_documents(rng, small_corpus):
+    model = PLSA(n_components=5, random_state=0, n_iter=30)
+    model.fit(sp.csr_matrix(small_corpus))
+    X_new = make_corpus(rng, n_docs=12, seed=123)
+    emb = model.transform(sp.csr_matrix(X_new))
+    assert emb.shape == (12, 5)
+    np.testing.assert_allclose(emb.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_fit_improves_log_likelihood(small_corpus):
+    X = sp.csr_matrix(small_corpus)
+    pzd0, pwz0 = plsa_init(small_corpus, 5, rng=np.random.RandomState(1))
+    _, _, info_short = plsa_fit(X, 5, init=(pzd0, pwz0), n_iter=2, return_info=True)
+    _, _, info_long = plsa_fit(X, 5, init=(pzd0, pwz0), n_iter=60, return_info=True)
+    assert info_long["log_likelihood"] > info_short["log_likelihood"]
+
+
+def test_sample_weight_changes_topics(small_corpus):
+    X = sp.csr_matrix(small_corpus)
+    w = np.ones(X.shape[0], dtype=np.float32)
+    w[:10] = 25.0
+    m1 = PLSA(n_components=4, random_state=0, n_iter=20).fit(X)
+    m2 = PLSA(n_components=4, random_state=0, n_iter=20)
+    m2.fit(X, sample_weight=w)
+    assert not np.allclose(m1.components_, m2.components_)
+
+
+def test_dense_input_accepted(small_corpus):
+    emb = PLSA(n_components=3, random_state=0, n_iter=10).fit_transform(small_corpus)
+    assert emb.shape == (small_corpus.shape[0], 3)
+
+
+def test_init_variants(small_corpus):
+    X = sp.csr_matrix(small_corpus)
+    for init in ("random", "nndsvd", "nmf"):
+        emb = PLSA(n_components=4, init=init, random_state=0, n_iter=10).fit_transform(X)
+        assert np.isfinite(emb).all()
+
+
+def test_metrics_methods(small_corpus):
+    model = PLSA(n_components=4, random_state=0, n_iter=20)
+    model.fit(sp.csr_matrix(small_corpus))
+    c = model.coherence(n_words=8)
+    ll = model.log_lift(n_words=8)
+    assert np.isfinite(c) and np.isfinite(ll)
+    c0 = model.coherence(topic_num=0, n_words=8)
+    assert np.isfinite(c0)
+    with pytest.raises(ValueError):
+        model.coherence(topic_num=99)
