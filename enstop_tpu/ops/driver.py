@@ -48,11 +48,19 @@ def _get_steps(backend):
     if backend == "pallas":
         from . import pallas_em
 
-        return (
-            pallas_em.em_step_fused,
-            pallas_em.refit_step_fused,
-            pallas_em.log_likelihood_fused,
-        )
+        # The loop only consults LL at test points (via the dedicated LL kernel),
+        # so the per-iteration step skips the transcendental log sweep.
+        def em(X, zd, wz, sample_weight=None):
+            return pallas_em.em_step_fused(
+                X, zd, wz, sample_weight=sample_weight, compute_ll=False
+            )
+
+        def refit(X, zd, wz, sample_weight=None):
+            return pallas_em.refit_step_fused(
+                X, zd, wz, sample_weight=sample_weight, compute_ll=False
+            )
+
+        return em, refit, pallas_em.log_likelihood_fused
     raise ValueError("Unrecognized backend {!r}".format(backend))
 
 

@@ -50,22 +50,14 @@ def _rownorm(a):
     return a / jnp.maximum(s, _TINY)
 
 
-def em_step_dense(X, p_z_given_d, p_w_given_z, sample_weight=None):
-    """One full EM step in matmul form on a dense (zero-padded) count matrix.
+def em_accumulators_dense(X, p_z_given_d, p_w_given_z, sample_weight=None):
+    """The raw per-pass quantities: ``(A, B, ll)``.
 
-    Parameters
-    ----------
-    X : (n, m) array — nonzeros are the sparse entries, zeros elsewhere.
-    p_z_given_d : (n, k) array
-    p_w_given_z : (k, m) array
-    sample_weight : optional (n,) array of per-document weights.
-
-    Returns
-    -------
-    (next_p_z_given_d, next_p_w_given_z, log_likelihood_of_inputs)
-
-    The returned log-likelihood is that of the *input* factors (it reuses S, free);
-    it equals the reference's ``log_likelihood`` before this step's M-update.
+    ``A = (w ⊙ P(z|d))^T @ R`` (k, m), ``B = R @ P(w|z)^T`` (n, k), and the
+    log-likelihood of the input factors.  Exposed separately so the mesh-sharded
+    backend can ``psum`` partial accumulators across devices before normalizing
+    (the TPU-native analog of the reference's cross-block shard reduction,
+    block_parallel_plsa.py:182-185).
     """
     Xf = X.astype(jnp.float32)
     S = jnp.dot(p_z_given_d, p_w_given_z, preferred_element_type=jnp.float32)
@@ -87,7 +79,27 @@ def em_step_dense(X, p_z_given_d, p_w_given_z, sample_weight=None):
     B = jax.lax.dot_general(
         R, p_w_given_z, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (n, k)
+    return A, B, ll
 
+
+def em_step_dense(X, p_z_given_d, p_w_given_z, sample_weight=None):
+    """One full EM step in matmul form on a dense (zero-padded) count matrix.
+
+    Parameters
+    ----------
+    X : (n, m) array — nonzeros are the sparse entries, zeros elsewhere.
+    p_z_given_d : (n, k) array
+    p_w_given_z : (k, m) array
+    sample_weight : optional (n,) array of per-document weights.
+
+    Returns
+    -------
+    (next_p_z_given_d, next_p_w_given_z, log_likelihood_of_inputs)
+
+    The returned log-likelihood is that of the *input* factors (it reuses S, free);
+    it equals the reference's ``log_likelihood`` before this step's M-update.
+    """
+    A, B, ll = em_accumulators_dense(X, p_z_given_d, p_w_given_z, sample_weight)
     next_wz = _rownorm(p_w_given_z * A)
     next_zd = _rownorm(p_z_given_d * B)
     return next_zd, next_wz, ll

@@ -1,0 +1,322 @@
+"""Fused Pallas TPU kernel for the pLSA EM step.
+
+One pass over the (zero-padded, dense-blocked) count matrix computes, per (Bd, Bw)
+tile, entirely in VMEM:
+
+    S  = zd_blk @ wz_blk          (MXU)           predicted P(w|d) on the tile
+    R  = X / S   where X > 0      (VPU)
+    A += (w ⊙ zd_blk)^T @ R       (MXU)           P(w|z) update accumulator (k, m)
+    B += R @ wz_blk^T             (MXU)           P(z|d) update accumulator (n, k)
+    ll += Σ w ⊙ X ⊙ log S         (VPU reduce; optional — only needed at test points)
+
+so the data matrix is read from HBM exactly once per EM iteration and the reference's
+``(nnz, k)`` responsibilities array (plsa.py:586) never exists anywhere.  This is the
+TPU-native replacement for the reference's four kernel families (flat numba
+plsa.py:25-386, streamed, 2D-blocked, and numba-CUDA cuda_plsa.py:22-154): the 2D
+grid here is the blocked variant's (i, j) tile loop (block_parallel_plsa.py:156-180)
+compiled onto the MXU, and the cross-tile shard reduction (block_parallel_plsa.py:
+182-185) becomes in-VMEM accumulation:
+
+* ``B`` tiles stay resident in VMEM across the inner j-sweep (grid order: j minor)
+  and are written back once per row-block;
+* ``A`` tiles are revisited non-consecutively, so ``A`` is an input/output-aliased
+  HBM accumulator (read-modify-write per tile visit — ~2·k/Bd of the X traffic);
+* ``ll`` accumulates in SMEM across the whole grid.
+
+Factor normalization happens outside the kernel on (k, m)/(n, k) arrays — negligible
+traffic, and XLA fuses the multiply+normalize chains.
+
+The EM fit loop only consults the log-likelihood every ``n_iter_per_test``
+iterations (plsa.py:630-638), so the default step kernel skips the transcendental
+``log`` sweep entirely (``compute_ll=False``); the dedicated LL kernel runs at test
+points.  Matmul precision defaults to HIGHEST (true f32 accumulation) for parity
+with the reference's f32 kernels; ``precision="default"`` trades ~1e-3 relative
+factor error for fewer MXU passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TINY = 1e-30
+
+# Default tile sizes: Bd=512 keeps the aliased-A read-modify-write traffic at
+# 2*kp/Bd (= 12.5% of X traffic at kp=32); Bw=512 gives MXU-friendly contractions.
+_DEFAULT_BD = 512
+_DEFAULT_BW = 512
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def pick_block_shape(n, m, bd=None, bw=None):
+    """Row/col tile sizes (also the padding multiples for the data layout)."""
+    bd = bd or min(_DEFAULT_BD, -(-max(n, 1) // 16) * 16)
+    bw = bw or min(_DEFAULT_BW, -(-max(m, 1) // 128) * 128)
+    return bd, bw
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _resolve_precision(precision):
+    if precision in (None, "highest"):
+        return jax.lax.Precision.HIGHEST
+    if precision == "default":
+        return jax.lax.Precision.DEFAULT
+    return precision
+
+
+def _dot(a, b, dims, precision):
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _accumulate_scalar(ll_ref, value, i, j):
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        ll_ref[0, 0] = value
+
+    @pl.when(jnp.logical_or(i > 0, j > 0))
+    def _():
+        ll_ref[0, 0] = ll_ref[0, 0] + value
+
+
+def _make_em_kernel(compute_ll, precision):
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, a_in_ref, a_out_ref, b_ref, ll_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        x = x_ref[:].astype(jnp.float32)
+        zd = zd_ref[:]
+        wz = wz_ref[:]
+        w = w_ref[:]  # (Bd, 1) per-document weights
+
+        s = _dot(zd, wz, ((1,), (0,)), precision)
+        s_safe = jnp.maximum(s, _TINY)
+        # x == 0 -> r == 0 automatically; the mask guards x > 0 with underflowed
+        # s (a dead word/doc), where the reference also yields zero responsibility.
+        r = jnp.where(x > 0, x / s_safe, 0.0)
+
+        a_tile = _dot(zd * w, r, ((0,), (0,)), precision)   # (kp, Bw)
+        b_tile = _dot(r, wz, ((1,), (1,)), precision)       # (Bd, kp)
+
+        # A: aliased HBM accumulator, read-modify-write on every visit.
+        a_out_ref[:] = a_in_ref[:] + a_tile
+
+        # B: resident across the j-sweep for this row block.
+        @pl.when(j == 0)
+        def _():
+            b_ref[:] = b_tile
+
+        @pl.when(j > 0)
+        def _():
+            b_ref[:] = b_ref[:] + b_tile
+
+        if compute_ll:
+            # x == 0 kills the term; log(s_safe) is finite by construction.
+            ll_tile = jnp.sum(x * jnp.log(s_safe) * w)
+            _accumulate_scalar(ll_ref, ll_tile, i, j)
+        else:
+            _accumulate_scalar(ll_ref, jnp.float32(0.0), i, j)
+
+    return kernel
+
+
+def _make_refit_kernel(compute_ll, precision):
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, b_ref, ll_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        x = x_ref[:].astype(jnp.float32)
+        zd = zd_ref[:]
+        wz = wz_ref[:]
+
+        s = _dot(zd, wz, ((1,), (0,)), precision)
+        s_safe = jnp.maximum(s, _TINY)
+        r = jnp.where(x > 0, x / s_safe, 0.0)
+        b_tile = _dot(r, wz, ((1,), (1,)), precision)
+
+        @pl.when(j == 0)
+        def _():
+            b_ref[:] = b_tile
+
+        @pl.when(j > 0)
+        def _():
+            b_ref[:] = b_ref[:] + b_tile
+
+        if compute_ll:
+            ll_tile = jnp.sum(x * jnp.log(s_safe) * w_ref[:])
+            _accumulate_scalar(ll_ref, ll_tile, i, j)
+        else:
+            _accumulate_scalar(ll_ref, jnp.float32(0.0), i, j)
+
+    return kernel
+
+
+def _make_ll_kernel(precision):
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, ll_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        x = x_ref[:].astype(jnp.float32)
+        s = _dot(zd_ref[:], wz_ref[:], ((1,), (0,)), precision)
+        ll_tile = jnp.sum(x * jnp.log(jnp.maximum(s, _TINY)) * w_ref[:])
+        _accumulate_scalar(ll_ref, ll_tile, i, j)
+
+    return kernel
+
+
+def _common_in_specs(bd, bw, kp):
+    return [
+        pl.BlockSpec((bd, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM),   # X
+        pl.BlockSpec((bd, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),   # zd
+        pl.BlockSpec((kp, bw), lambda i, j: (0, j), memory_space=pltpu.VMEM),   # wz
+        pl.BlockSpec((bd, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),    # w
+    ]
+
+
+def _cost(n, m, kp, transcendentals):
+    return pl.CostEstimate(
+        flops=3 * 2 * n * m * kp,
+        bytes_accessed=n * m * 4 + 2 * (n * kp + kp * m) * 4,
+        transcendentals=transcendentals,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bd", "bw", "compute_ll", "precision_key"))
+def _fused_em_call(X, zd, wz, w, bd, bw, compute_ll=True, precision_key="highest"):
+    n, m = X.shape
+    kp = zd.shape[1]
+    grid = (n // bd, m // bw)
+    a_zero = jnp.zeros((kp, m), jnp.float32)
+    precision = _resolve_precision(precision_key)
+
+    a_acc, b_acc, ll = pl.pallas_call(
+        _make_em_kernel(compute_ll, precision),
+        grid=grid,
+        in_specs=_common_in_specs(bd, bw, kp)
+        + [pl.BlockSpec((kp, bw), lambda i, j: (0, j), memory_space=pltpu.VMEM)],  # A in
+        out_specs=[
+            pl.BlockSpec((kp, bw), lambda i, j: (0, j), memory_space=pltpu.VMEM),  # A out
+            pl.BlockSpec((bd, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),  # B
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),    # ll
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kp, m), jnp.float32),
+            jax.ShapeDtypeStruct((n, kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={4: 0},
+        cost_estimate=_cost(n, m, kp, transcendentals=n * m if compute_ll else 0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_interpret(),
+    )(X, zd, wz, w, a_zero)
+    return a_acc, b_acc, ll[0, 0]
+
+
+def _weights_col(sample_weight, n):
+    if sample_weight is None:
+        return jnp.ones((n, 1), jnp.float32)
+    return sample_weight.reshape(n, 1).astype(jnp.float32)
+
+
+def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
+                          bd=None, bw=None, compute_ll=True, precision="highest"):
+    """Raw ``(A, B, ll)`` accumulators from the fused kernel (pre-normalization);
+    used by the mesh-sharded backend which psums these across devices."""
+    n, m = X.shape
+    bd, bw = pick_block_shape(n, m, bd, bw)
+    w = _weights_col(sample_weight, n)
+    return _fused_em_call(X, p_z_given_d, p_w_given_z, w, bd, bw,
+                          compute_ll=compute_ll, precision_key=precision)
+
+
+def em_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, bw=None,
+                  compute_ll=True, precision="highest"):
+    """Drop-in fused equivalent of :func:`enstop_tpu.ops.em.em_step_dense`.
+
+    ``X`` must be padded to multiples of the block shape (see
+    :func:`pick_block_shape`); padding rows/cols/topics are absorbing zeros.
+    With ``compute_ll=False`` the returned scalar is 0.0 and the log sweep is
+    skipped (the fit loop only needs LL at test points).
+    """
+    a_acc, b_acc, ll = em_accumulators_fused(
+        X, p_z_given_d, p_w_given_z, sample_weight, bd, bw, compute_ll, precision
+    )
+    next_wz = p_w_given_z * a_acc
+    next_wz = next_wz / jnp.maximum(next_wz.sum(axis=1, keepdims=True), _TINY)
+    next_zd = p_z_given_d * b_acc
+    next_zd = next_zd / jnp.maximum(next_zd.sum(axis=1, keepdims=True), _TINY)
+    return next_zd, next_wz, ll
+
+
+@functools.partial(jax.jit, static_argnames=("bd", "bw", "compute_ll", "precision_key"))
+def _fused_refit_call(X, zd, wz, w, bd, bw, compute_ll=True, precision_key="highest"):
+    n, m = X.shape
+    kp = zd.shape[1]
+    grid = (n // bd, m // bw)
+    precision = _resolve_precision(precision_key)
+    b_acc, ll = pl.pallas_call(
+        _make_refit_kernel(compute_ll, precision),
+        grid=grid,
+        in_specs=_common_in_specs(bd, bw, kp),
+        out_specs=[
+            pl.BlockSpec((bd, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=_cost(n, m, kp, transcendentals=n * m if compute_ll else 0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_interpret(),
+    )(X, zd, wz, w)
+    return b_acc, ll[0, 0]
+
+
+def refit_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, bw=None,
+                     compute_ll=True, precision="highest"):
+    """Frozen-topics EM step (only P(z|d) updates); fused analog of
+    :func:`enstop_tpu.ops.em.refit_step_dense`."""
+    n, m = X.shape
+    bd, bw = pick_block_shape(n, m, bd, bw)
+    w = _weights_col(sample_weight, n)
+    b_acc, ll = _fused_refit_call(X, p_z_given_d, p_w_given_z, w, bd, bw,
+                                  compute_ll=compute_ll, precision_key=precision)
+    next_zd = p_z_given_d * b_acc
+    next_zd = next_zd / jnp.maximum(next_zd.sum(axis=1, keepdims=True), _TINY)
+    return next_zd, ll
+
+
+@functools.partial(jax.jit, static_argnames=("bd", "bw", "precision_key"))
+def _fused_ll_call(X, zd, wz, w, bd, bw, precision_key="highest"):
+    n, m = X.shape
+    kp = zd.shape[1]
+    grid = (n // bd, m // bw)
+    ll = pl.pallas_call(
+        _make_ll_kernel(_resolve_precision(precision_key)),
+        grid=grid,
+        in_specs=_common_in_specs(bd, bw, kp),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=_cost(n, m, kp, transcendentals=n * m),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_interpret(),
+    )(X, zd, wz, w)
+    return ll[0, 0]
+
+
+def log_likelihood_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
+                         bd=None, bw=None, precision="highest"):
+    n, m = X.shape
+    bd, bw = pick_block_shape(n, m, bd, bw)
+    w = _weights_col(sample_weight, n)
+    return _fused_ll_call(X, p_z_given_d, p_w_given_z, w, bd, bw, precision_key=precision)

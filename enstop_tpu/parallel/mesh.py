@@ -1,0 +1,229 @@
+"""Mesh-sharded EM: the TPU-native successor of the reference's 2D block-parallel,
+dask-distributed, and CUDA variants in one backend.
+
+The reference decomposes the doc-term matrix into an ``n_row_blocks × n_col_blocks``
+tile grid, gives each tile its own partial-M output shards, then sum-reduces the
+shards and normalizes (block_parallel_plsa.py:116-202).  Its dask variant does the
+same with ``dask.delayed`` tile tasks, a ``dstack(...).sum`` reduction graph, and a
+``compute()`` gather-to-driver barrier on *every* EM iteration
+(distributed_plsa.py:54-133).
+
+Here the tile grid is a ``jax.sharding.Mesh`` with axes ``("docs", "vocab")``:
+
+* ``X``      sharded ``P("docs", "vocab")`` — one dense tile per device, resident;
+* ``P(z|d)`` sharded ``P("docs", None)``    — replicated along vocab;
+* ``P(w|z)`` sharded ``P(None, "vocab")``   — replicated along docs;
+* the per-tile accumulators are ``psum``-reduced along the orthogonal mesh axis
+  (replacing block_parallel_plsa.py:182-185 and dask's reduction graph), and the
+  convergence test is a scalar psum — factors never leave the devices during the
+  whole fit (the gather/re-scatter per iteration in distributed_plsa.py:131 is
+  eliminated entirely).
+
+Each device's local tile computation is either the fused Pallas kernel
+(``inner="pallas"``) or XLA matmuls (``inner="xla"``) — the same kernels as the
+single-chip path, so the mesh backend is a thin collective layer.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import em as em_ops
+from ..ops.fit import em_fit_loop
+
+_TINY = 1e-30
+
+__all__ = ["make_mesh", "build_sharded_fit", "shard_inputs", "mesh_layout_multiples"]
+
+
+def make_mesh(n_row_shards=None, n_col_shards=1, devices=None):
+    """Build a 2D ``(docs, vocab)`` device mesh.
+
+    Defaults put all devices on the docs axis (pure data parallelism over
+    documents); set ``n_col_shards > 1`` to also shard the vocabulary (the analog
+    of the reference's 2D block grid, for large-vocab models).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_row_shards is None:
+        n_row_shards = n_dev // n_col_shards
+    if n_row_shards * n_col_shards != n_dev:
+        raise ValueError(
+            "n_row_shards * n_col_shards = {} does not match device count {}".format(
+                n_row_shards * n_col_shards, n_dev
+            )
+        )
+    dev_array = np.asarray(devices).reshape(n_row_shards, n_col_shards)
+    return Mesh(dev_array, axis_names=("docs", "vocab"))
+
+
+def mesh_layout_multiples(mesh, inner="xla"):
+    """Padding multiples so every device holds whole tiles of the inner kernel."""
+    rd, cd = mesh.shape["docs"], mesh.shape["vocab"]
+    if inner == "pallas":
+        from ..ops.pallas_em import _DEFAULT_BD, _DEFAULT_BW
+
+        return rd * _DEFAULT_BD, cd * _DEFAULT_BW
+    return rd * 8, cd * 128
+
+
+def _local_accumulators(inner):
+    if inner == "pallas":
+        from ..ops import pallas_em
+
+        def accum(X, zd, wz, w):
+            return pallas_em.em_accumulators_fused(X, zd, wz, sample_weight=w)
+
+    else:
+
+        def accum(X, zd, wz, w):
+            return em_ops.em_accumulators_dense(X, zd, wz, sample_weight=w)
+
+    return accum
+
+
+def build_sharded_em_step(mesh, inner="xla", weighted=True):
+    """Return a jittable ``(X, zd, wz, w) -> (next_zd, next_wz, ll)`` over the mesh."""
+    accum = _local_accumulators(inner)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab"), P("docs")),
+        out_specs=(P("docs", None), P(None, "vocab"), P()),
+        check_rep=False,
+    )
+    def step(X, zd, wz, w):
+        A_l, B_l, ll_l = accum(X, zd, wz, w if weighted else None)
+        # Cross-tile shard reduction — the reference's axis-0 sums
+        # (block_parallel_plsa.py:182-185) as ICI collectives:
+        A = lax.psum(A_l, "docs")        # P(w|z) accumulator: full over local vocab
+        B = lax.psum(B_l, "vocab")       # P(z|d) accumulator: full over local docs
+        ll = lax.psum(ll_l, ("docs", "vocab"))
+
+        num_wz = wz * A
+        # Row norms of P(w|z) span the vocab axis -> one more small psum.
+        norm_wz = lax.psum(num_wz.sum(axis=1, keepdims=True), "vocab")
+        next_wz = num_wz / jnp.maximum(norm_wz, _TINY)
+
+        num_zd = zd * B
+        next_zd = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
+        return next_zd, next_wz, ll
+
+    return step
+
+
+def build_sharded_ll(mesh, inner="xla", weighted=True):
+    if inner == "pallas":
+        from ..ops import pallas_em
+
+        local_ll = lambda X, zd, wz, w: pallas_em.log_likelihood_fused(
+            X, zd, wz, sample_weight=w
+        )
+    else:
+        local_ll = lambda X, zd, wz, w: em_ops.log_likelihood_dense(
+            X, zd, wz, sample_weight=w
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab"), P("docs")),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def ll_fn(X, zd, wz, w):
+        return lax.psum(local_ll(X, zd, wz, w if weighted else None), ("docs", "vocab"))
+
+    return ll_fn
+
+
+def build_sharded_refit_step(mesh, inner="xla"):
+    """Frozen-topics step over the mesh (for sharded transform/refit)."""
+    if inner == "pallas":
+        from ..ops import pallas_em
+
+        def local(X, zd, wz):
+            b, ll = pallas_em._fused_refit_call(
+                X, zd, wz, jnp.ones((X.shape[0], 1), jnp.float32),
+                *pallas_em.pick_block_shape(*X.shape),
+            )
+            return b, ll
+
+    else:
+
+        def local(X, zd, wz):
+            Xf = X.astype(jnp.float32)
+            S = jnp.dot(zd, wz, preferred_element_type=jnp.float32)
+            nz = Xf > 0
+            Ssafe = jnp.maximum(S, _TINY)
+            R = jnp.where(nz, Xf / Ssafe, 0.0)
+            ll = jnp.sum(jnp.where(nz, Xf * jnp.log(Ssafe), 0.0))
+            B = jax.lax.dot_general(
+                R, wz, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return B, ll
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab")),
+        out_specs=(P("docs", None), P()),
+        check_rep=False,
+    )
+    def step(X, zd, wz):
+        B_l, ll_l = local(X, zd, wz)
+        B = lax.psum(B_l, "vocab")
+        ll = lax.psum(ll_l, ("docs", "vocab"))
+        num = zd * B
+        next_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+        return next_zd, ll
+
+    return step
+
+
+def shard_inputs(mesh, X, zd, wz, w):
+    """Place padded host arrays onto the mesh with the canonical shardings."""
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    return (
+        put(X, P("docs", "vocab")),
+        put(zd, P("docs", None)),
+        put(wz, P(None, "vocab")),
+        put(w, P("docs")),
+    )
+
+
+def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):
+    """Compiled full-fit program over the mesh: EM loop + convergence entirely
+    on-device; only the final factors come back to the host."""
+    em_step = build_sharded_em_step(mesh, inner=inner, weighted=weighted)
+    refit_step = build_sharded_refit_step(mesh, inner=inner)
+    ll_fn = build_sharded_ll(mesh, inner=inner, weighted=weighted)
+
+    @jax.jit
+    def run(X, zd, wz, w, tol):
+        if refit:
+            def step(state):
+                new_zd, ll = refit_step(X, state[0], state[1])
+                return (new_zd, state[1]), ll
+        else:
+            def step(state):
+                new_zd, new_wz, ll = em_step(X, state[0], state[1], w)
+                return (new_zd, new_wz), ll
+
+        def ll_of(state):
+            return ll_fn(X, state[0], state[1], w)
+
+        (zd_f, wz_f), steps, final_ll = em_fit_loop(
+            step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol
+        )
+        return zd_f, wz_f, steps, final_ll
+
+    return run
