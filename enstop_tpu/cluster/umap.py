@@ -1,0 +1,219 @@
+"""Mini-UMAP: low-dimensional embedding for stable-topic clustering.
+
+The reference's default topic combiner embeds the ensemble's topic vectors to 5D
+with UMAP under the Hellinger metric before HDBSCAN (enstop_.py:385-394).  umap-learn
+is a large numba package; the inputs here are tiny (N = n_runs · k points), so this
+is a compact, self-contained implementation of the same pipeline:
+
+  exact kNN (any callable/precomputed metric) -> smoothed-kNN fuzzy simplicial set
+  (rho/sigma binary search, log2(k) calibration) -> fuzzy union -> spectral init
+  from the symmetric normalized Laplacian -> SGD layout with negative sampling on
+  the attractive/repulsive gradients of the (a, b) rational kernel.
+
+Deviation from umap-learn: the layout SGD applies each epoch's edge updates
+vectorized (numpy) rather than Hogwild-sequential; at these sizes the embeddings
+are equivalent for clustering purposes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.utils import check_random_state
+
+__all__ = ["umap_embed", "UMAP", "fuzzy_simplicial_set", "find_ab_params"]
+
+SMOOTH_K_TOLERANCE = 1e-5
+MIN_K_DIST_SCALE = 1e-3
+
+
+def find_ab_params(spread=1.0, min_dist=0.1):
+    """Fit the (a, b) of 1/(1 + a d^{2b}) to the desired min_dist/spread curve."""
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.zeros_like(xv)
+    yv[xv < min_dist] = 1.0
+    yv[xv >= min_dist] = np.exp(-(xv[xv >= min_dist] - min_dist) / spread)
+    params, _ = curve_fit(curve, xv, yv)
+    return params[0], params[1]
+
+
+def smooth_knn_dist(knn_dists, n_neighbors, n_iter=64):
+    """Per-point (rho, sigma): rho = nearest nonzero distance; sigma solves
+    sum_j exp(-(max(0, d_j - rho)) / sigma) = log2(n_neighbors)."""
+    target = np.log2(n_neighbors)
+    n = knn_dists.shape[0]
+    rho = np.zeros(n)
+    sigma = np.zeros(n)
+    mean_all = knn_dists.mean() or 1.0
+    for i in range(n):
+        row = knn_dists[i]
+        nonzero = row[row > 0]
+        rho[i] = nonzero[0] if nonzero.size else 0.0
+        lo, hi, mid = 0.0, np.inf, 1.0
+        for _ in range(n_iter):
+            ps = np.exp(-np.maximum(row[1:] - rho[i], 0.0) / mid)
+            val = ps.sum()
+            if abs(val - target) < SMOOTH_K_TOLERANCE:
+                break
+            if val > target:
+                hi = mid
+                mid = (lo + hi) / 2.0
+            else:
+                lo = mid
+                mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
+        sigma[i] = max(mid, MIN_K_DIST_SCALE * (row.mean() or mean_all))
+    return rho, sigma
+
+
+def fuzzy_simplicial_set(dmat, n_neighbors):
+    """Symmetrized fuzzy graph (dense, tiny N) from a distance matrix."""
+    n = dmat.shape[0]
+    n_neighbors = min(n_neighbors, n - 1)
+    knn_idx = np.argsort(dmat, axis=1)[:, : n_neighbors + 1]  # includes self at 0
+    knn_d = np.take_along_axis(dmat, knn_idx, axis=1)
+    rho, sigma = smooth_knn_dist(knn_d, n_neighbors)
+
+    W = np.zeros((n, n))
+    for i in range(n):
+        for col in range(1, knn_idx.shape[1]):
+            j = knn_idx[i, col]
+            W[i, j] = np.exp(-max(knn_d[i, col] - rho[i], 0.0) / sigma[i])
+    # fuzzy set union
+    return W + W.T - W * W.T
+
+
+def _spectral_init(W, dim, rng):
+    from scipy.linalg import eigh
+
+    n = W.shape[0]
+    deg = W.sum(axis=1)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    L = np.eye(n) - (inv_sqrt[:, None] * W) * inv_sqrt[None, :]
+    try:
+        vals, vecs = eigh(L)
+        emb = vecs[:, 1 : dim + 1]
+    except np.linalg.LinAlgError:
+        emb = rng.uniform(-1, 1, (n, dim))
+    expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+    emb = emb * expansion
+    return (emb + rng.normal(0, 0.0001, emb.shape)).astype(np.float64)
+
+
+def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
+                     initial_alpha=1.0):
+    heads, tails = np.nonzero(W)
+    weights = W[heads, tails]
+    if heads.size == 0:
+        return emb
+    # umap's epochs_per_sample scheme: stronger edges are sampled more often
+    eps_per_sample = weights.max() / np.maximum(weights, 1e-12)
+    next_epoch = eps_per_sample.copy()
+    n = emb.shape[0]
+
+    for epoch in range(n_epochs):
+        alpha = initial_alpha * (1.0 - epoch / n_epochs)
+        active = next_epoch <= epoch + 1.0
+        if not active.any():
+            continue
+        h, t = heads[active], tails[active]
+        d = emb[h] - emb[t]
+        dsq = (d * d).sum(1)
+        # attractive gradient of log(1/(1+a d^{2b}))
+        grad_coeff = np.where(
+            dsq > 0, (-2.0 * a * b * dsq ** (b - 1.0)) / (a * dsq ** b + 1.0), 0.0
+        )
+        g = np.clip(grad_coeff[:, None] * d, -4.0, 4.0)
+        np.add.at(emb, h, alpha * g)
+        np.add.at(emb, t, -alpha * g)
+
+        # negative samples
+        for _ in range(negative_sample_rate):
+            neg = rng.randint(0, n, h.size)
+            d = emb[h] - emb[neg]
+            dsq = (d * d).sum(1)
+            rep = np.where(
+                dsq > 0, (2.0 * b) / ((0.001 + dsq) * (a * dsq ** b + 1.0)), 0.0
+            )
+            mask = neg != h
+            g = np.clip(rep[:, None] * d, -4.0, 4.0) * mask[:, None]
+            np.add.at(emb, h, alpha * g)
+        next_epoch[active] += eps_per_sample[active]
+    return emb
+
+
+def umap_embed(
+    X=None,
+    dmat=None,
+    n_components=5,
+    n_neighbors=15,
+    metric=None,
+    min_dist=0.1,
+    spread=1.0,
+    n_epochs=None,
+    random_state=None,
+):
+    """Embed points to ``n_components`` dims. Provide either a precomputed distance
+    matrix or data + a metric callable (rows assumed l1-normalized for hellinger)."""
+    rng = check_random_state(random_state)
+    if dmat is None:
+        if callable(metric):
+            X = np.asarray(X, dtype=np.float64)
+            n = X.shape[0]
+            dmat = np.zeros((n, n))
+            for i in range(n):
+                for j in range(i + 1, n):
+                    dmat[i, j] = dmat[j, i] = metric(X[i], X[j])
+        elif metric in (None, "hellinger"):
+            from .distances import all_pairs_hellinger_distance
+
+            dmat = all_pairs_hellinger_distance(X)
+        elif metric == "euclidean":
+            X = np.asarray(X, dtype=np.float64)
+            diff = X[:, None, :] - X[None, :, :]
+            dmat = np.sqrt((diff * diff).sum(-1))
+        else:
+            raise ValueError("Unrecognized metric {!r}".format(metric))
+
+    n = dmat.shape[0]
+    if n <= n_components + 1:
+        return rng.uniform(-10, 10, (n, n_components))
+    if n_epochs is None:
+        n_epochs = 500 if n < 10000 else 200
+
+    W = fuzzy_simplicial_set(dmat, n_neighbors)
+    emb = _spectral_init(W, n_components, rng)
+    a, b = find_ab_params(spread, min_dist)
+    seed = rng.randint(np.iinfo(np.int32).max)
+    emb = _optimize_layout(emb, W, n_epochs, a, b, np.random.RandomState(seed))
+    return emb
+
+
+class UMAP:
+    """Minimal facade matching the constructor surface the reference uses
+    (enstop_.py:385-387)."""
+
+    def __init__(self, n_neighbors=15, n_components=2, metric="euclidean",
+                 min_dist=0.1, spread=1.0, n_epochs=None, random_state=None):
+        self.n_neighbors = n_neighbors
+        self.n_components = n_components
+        self.metric = metric
+        self.min_dist = min_dist
+        self.spread = spread
+        self.n_epochs = n_epochs
+        self.random_state = random_state
+
+    def fit_transform(self, X):
+        return umap_embed(
+            X=X,
+            n_components=self.n_components,
+            n_neighbors=self.n_neighbors,
+            metric=self.metric,
+            min_dist=self.min_dist,
+            spread=self.spread,
+            n_epochs=self.n_epochs,
+            random_state=self.random_state,
+        )

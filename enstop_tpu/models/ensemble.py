@@ -1,0 +1,480 @@
+"""Ensemble topic modeling (EnsTop) — the flagship capability.
+
+Pipeline (reference enstop_.py:417-584): bootstrap-resample documents, fit k topics
+per run (pLSA or NMF), stack all ``n_runs · k`` topic vectors, cluster them to find
+stable topics (Hellinger/UMAP + HDBSCAN), merge each cluster (membership-weighted
+square-of-mean-of-sqrt), and refit document vectors against the stable topics.
+
+TPU-native re-design of the runs:
+
+* The reference fans bootstrap fits out over dask/joblib *threads* on the CPU
+  (enstop_.py:209-229); here every fit is already an entire compiled on-device EM
+  program, so runs execute back-to-back on the accelerator against a single
+  device-resident copy of the padded data matrix.  Bootstrapping is expressed as
+  *multinomial document weights* (each doc appears ``Multinomial(n, 1/n)`` times
+  — exactly the row-multiset the reference materializes with
+  ``rng.randint(0, n, n)`` row gathers, enstop_.py:87-88) so no per-run data copy
+  or re-upload ever happens; ``parallelism="resample"`` reproduces the
+  reference's materialized row-resample instead.
+* Topic-distance matrices are MXU matmuls (cluster/distances.py); UMAP + HDBSCAN
+  run host-side on the tiny (n_runs·k, n_words) stack with first-class
+  reimplementations (cluster/umap.py, cluster/hdbscan.py — this environment has
+  no hdbscan/umap packages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import coo_matrix, csr_matrix, issparse
+from sklearn.utils import check_array, check_random_state
+
+import jax
+import jax.numpy as jnp
+
+from ..cluster.distances import all_pairs_hellinger_distance, all_pairs_kl_divergence
+from ..cluster.hdbscan import HDBSCAN, hdbscan_labels, mutual_reachability, mst_linkage, single_linkage_tree, condense_tree, compute_stability, select_clusters, labels_and_probabilities
+from ..cluster.umap import umap_embed
+from ..ops.driver import plsa_fit, plsa_refit, resolve_backend, _build_fit_fn, _layout_multiples
+from ..ops.data import pad_dense_counts, pad_factors, pad_vector
+from ..ops.init import plsa_init
+from ..utils import _check_sample_weight, normalized
+from .base import TopicModelBase, validate_corpus
+
+
+# ---------------------------------------------------------------------------
+# bootstrap topic workers (reference enstop_.py:56-161)
+# ---------------------------------------------------------------------------
+
+def plsa_topics(X, k, **kwargs):
+    """One bootstrap-resampled pLSA run; returns the (k, n_words) topics
+    (reference enstop_.py:56-115)."""
+    A = X.tocsr()
+    if kwargs.get("bootstrap", True):
+        rng = check_random_state(kwargs.get("random_state", None))
+        bootstrap_sample_indices = rng.randint(0, A.shape[0], size=A.shape[0])
+        B = A[bootstrap_sample_indices]
+    else:
+        B = A
+    sample_weight = _check_sample_weight(None, B, dtype=np.float32)
+    _, topics = plsa_fit(
+        B,
+        k,
+        sample_weight=sample_weight,
+        init=kwargs.get("init", "random"),
+        n_iter=kwargs.get("n_iter", 100),
+        n_iter_per_test=kwargs.get("n_iter_per_test", 10),
+        tolerance=kwargs.get("tolerance", 0.001),
+        e_step_thresh=kwargs.get("e_step_thresh", 1e-16),
+        random_state=kwargs.get("random_state", None),
+        backend=kwargs.get("backend", "auto"),
+    )
+    return topics
+
+
+def nmf_topics(X, k, **kwargs):
+    """One bootstrap-resampled NMF run, topics l1-normalized
+    (reference enstop_.py:118-161; solver="mu" uses the TPU-native MU solver,
+    solver="cd" falls back to sklearn's coordinate descent)."""
+    A = X.tocsr()
+    if kwargs.get("bootstrap", True):
+        rng = check_random_state(kwargs.get("random_state", None))
+        bootstrap_sample_indices = rng.randint(0, A.shape[0], size=A.shape[0])
+        B = A[bootstrap_sample_indices]
+    else:
+        B = A
+    solver = kwargs.get("solver", "mu")
+    if solver == "cd":
+        from sklearn.decomposition import NMF
+
+        nmf = NMF(
+            n_components=k,
+            init=kwargs.get("init", "nndsvd"),
+            beta_loss=2,
+            solver="cd",
+            random_state=kwargs.get("random_state", None),
+        ).fit(B)
+        topics = nmf.components_.copy()
+    else:
+        from ..ops.nmf import nmf_fit_mu
+
+        _, topics = nmf_fit_mu(
+            B,
+            k,
+            beta_loss=kwargs.get("beta_loss", 1),
+            init=kwargs.get("init", "nndsvd") if not isinstance(kwargs.get("init"), (tuple, list)) else "nndsvd",
+            random_state=kwargs.get("random_state", None),
+        )
+    return normalized(np.asarray(topics, dtype=np.float64), axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# ensemble fan-out (reference enstop_.py:164-231, redesigned device-resident)
+# ---------------------------------------------------------------------------
+
+def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
+                               n_iter=100, n_iter_per_test=10, tolerance=0.001,
+                               backend="auto", precision="highest"):
+    """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
+    of X, expressing each bootstrap as multinomial document weights."""
+    backend = resolve_backend(backend)
+    rm, cm = _layout_multiples(backend, *X.shape)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    Xdev = jnp.asarray(Xd)
+
+    run_weighted = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
+    run_plain = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), False, False, precision)
+
+    topics_out = []
+    for _ in range(n_runs):
+        pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
+        zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+        if bootstrap:
+            counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
+            w = pad_vector(counts, Xd.shape[0])
+            _, wz_f, _, _ = run_weighted(Xdev, zd, wz, w, jnp.float32(tolerance))
+        else:
+            w = pad_vector(np.ones(n, np.float32), Xd.shape[0])
+            _, wz_f, _, _ = run_plain(Xdev, zd, wz, w, jnp.float32(tolerance))
+        topics_out.append(np.asarray(wz_f)[:k, : X.shape[1]])
+    return np.vstack(topics_out)
+
+
+def ensemble_of_topics(
+    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="weights", **kwargs
+):
+    """Generate ``n_runs · k`` candidate topics (reference enstop_.py:164-231).
+
+    ``parallelism``:
+      * ``"weights"`` (default) — device-resident multinomial-weight bootstraps
+        (no per-run data copies; the TPU-native path);
+      * ``"resample"`` / ``"none"`` — materialized row-resample per run, exactly
+        the reference's sampling (enstop_.py:87-88), fits run sequentially;
+      * ``"joblib"`` / ``"dask"`` — accepted for API parity, mapped to
+        ``"resample"`` (thread fan-out does not help a device-bound workload).
+    """
+    if model == "plsa" and parallelism == "weights":
+        rng = check_random_state(kwargs.get("random_state", None))
+        return _device_resident_plsa_runs(
+            X,
+            k,
+            n_runs,
+            rng,
+            bootstrap=kwargs.get("bootstrap", True),
+            init=kwargs.get("init", "random"),
+            n_iter=kwargs.get("n_iter", 100),
+            n_iter_per_test=kwargs.get("n_iter_per_test", 10),
+            tolerance=kwargs.get("tolerance", 0.001),
+            backend=kwargs.get("backend", "auto"),
+        )
+
+    if model == "plsa":
+        create_topics = plsa_topics
+    elif model == "nmf":
+        create_topics = nmf_topics
+    else:
+        raise ValueError('Model must be one of "plsa" or "nmf"')
+
+    rng = check_random_state(kwargs.get("random_state", None))
+    topics = []
+    for _ in range(n_runs):
+        run_kwargs = dict(kwargs)
+        run_kwargs["random_state"] = rng.randint(np.iinfo(np.int32).max)
+        topics.append(create_topics(X, k, **run_kwargs))
+    return np.vstack(topics)
+
+
+# ---------------------------------------------------------------------------
+# topic combiners (reference enstop_.py:266-414)
+# ---------------------------------------------------------------------------
+
+def _merge_topics_by_label(all_topics, labels, weights=None):
+    """Cluster merge rule: squared (weighted) mean of sqrt topic vectors,
+    renormalized (reference enstop_.py:310-313, 346-349, 396-406)."""
+    n_clusters = labels.max() + 1
+    result = np.empty((n_clusters, all_topics.shape[1]), dtype=np.float32)
+    for i in range(n_clusters):
+        mask = labels == i
+        if weights is not None:
+            w = weights[mask]
+            if w.sum() <= 0:
+                w = np.ones(mask.sum())
+            result[i] = np.average(np.sqrt(all_topics[mask]), axis=0, weights=w) ** 2
+        else:
+            result[i] = np.mean(np.sqrt(all_topics[mask]), axis=0) ** 2
+        result[i] /= result[i].sum()
+    return result
+
+
+def generate_combined_topics_kl(all_topics, min_samples=5, min_cluster_size=5):
+    """KL-divergence combiner (reference enstop_.py:266-316): hand-built mutual
+    reachability over the (asymmetric) divergence matrix + MST + leaf selection."""
+    divergence_matrix = all_pairs_kl_divergence(all_topics)
+    core = np.sort(divergence_matrix, axis=1)[:, min_samples]
+    tiled = np.tile(core, (core.shape[0], 1))
+    mutual_reach = np.dstack(
+        [divergence_matrix, divergence_matrix.T, tiled, tiled.T]
+    ).max(axis=-1)
+    mst = mst_linkage(mutual_reach)
+    slt = single_linkage_tree(mst)
+    ct = condense_tree(slt, min_cluster_size)
+    stability = compute_stability(ct)
+    selected = select_clusters(ct, stability, method="leaf")
+    if not selected:
+        labels = np.zeros(all_topics.shape[0], dtype=np.intp)
+    else:
+        labels, _ = labels_and_probabilities(ct, selected, all_topics.shape[0])
+    if labels.max() < 0:
+        labels = np.zeros(all_topics.shape[0], dtype=np.intp)
+    return _merge_topics_by_label(all_topics, labels)
+
+
+def generate_combined_topics_hellinger(all_topics, min_samples=5, min_cluster_size=5):
+    """Hellinger combiner (reference enstop_.py:319-351): precomputed-metric
+    HDBSCAN, leaf selection."""
+    distance_matrix = all_pairs_hellinger_distance(all_topics)
+    labels = HDBSCAN(
+        min_samples=min_samples,
+        min_cluster_size=min_cluster_size,
+        metric="precomputed",
+        cluster_selection_method="leaf",
+    ).fit_predict(distance_matrix)
+    if labels.max() < 0:
+        labels = np.zeros(all_topics.shape[0], dtype=np.intp)
+    return _merge_topics_by_label(all_topics, labels)
+
+
+def generate_combined_topics_hellinger_umap(
+    all_topics, min_samples=5, min_cluster_size=5, n_neighbors=15, reduced_dim=5,
+    random_state=None,
+):
+    """Default combiner (reference enstop_.py:354-411): 5D UMAP embedding under
+    Hellinger distance, then euclidean HDBSCAN with leaf selection +
+    allow_single_cluster; clusters merged with membership-strength weights."""
+    dmat = all_pairs_hellinger_distance(all_topics)
+    embedding = umap_embed(
+        dmat=dmat,
+        n_components=reduced_dim,
+        n_neighbors=n_neighbors,
+        random_state=random_state,
+    )
+    clusterer = HDBSCAN(
+        min_samples=min_samples,
+        min_cluster_size=min_cluster_size,
+        cluster_selection_method="leaf",
+        allow_single_cluster=True,
+    ).fit(embedding)
+    labels = clusterer.labels_
+    strengths = clusterer.probabilities_
+    if labels.max() < 0:
+        labels = np.zeros(all_topics.shape[0], dtype=np.intp)
+        strengths = np.ones(all_topics.shape[0])
+    return _merge_topics_by_label(all_topics, labels, weights=strengths)
+
+
+_topic_combiner = {
+    "kl_divergence": generate_combined_topics_kl,
+    "hellinger": generate_combined_topics_hellinger,
+    "hellinger_umap": generate_combined_topics_hellinger_umap,
+}
+
+
+# ---------------------------------------------------------------------------
+# ensemble fit (reference enstop_.py:417-584)
+# ---------------------------------------------------------------------------
+
+def ensemble_fit(
+    X,
+    estimated_n_topics=10,
+    model="plsa",
+    init="random",
+    min_samples=3,
+    min_cluster_size=4,
+    n_starts=16,
+    n_jobs=1,
+    parallelism="weights",
+    topic_combination="hellinger_umap",
+    bootstrap=True,
+    n_iter=100,
+    n_iter_per_test=10,
+    tolerance=0.001,
+    e_step_thresh=1e-16,
+    lift_factor=1,
+    beta_loss=1,
+    alpha=0.0,
+    solver="mu",
+    random_state=None,
+    backend="auto",
+):
+    """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``."""
+    X = check_array(X, accept_sparse="csr", dtype=np.float32)
+    if not issparse(X):
+        X = csr_matrix(X)
+
+    all_topics = ensemble_of_topics(
+        X,
+        estimated_n_topics,
+        model=model,
+        n_jobs=n_jobs,
+        n_runs=n_starts,
+        parallelism=parallelism,
+        init=init,
+        n_iter=n_iter,
+        n_iter_per_test=n_iter_per_test,
+        tolerance=tolerance,
+        e_step_thresh=e_step_thresh,
+        bootstrap=bootstrap,
+        beta_loss=beta_loss,
+        alpha=alpha,
+        solver=solver,
+        random_state=random_state,
+        backend=backend,
+    )
+
+    if topic_combination in _topic_combiner:
+        cluster_topics = _topic_combiner[topic_combination]
+    else:
+        raise ValueError(
+            "topic_combination must be one of {}".format(tuple(_topic_combiner.keys()))
+        )
+
+    if topic_combination == "hellinger_umap":
+        stable_topics = cluster_topics(
+            all_topics, min_samples, min_cluster_size, random_state=random_state
+        )
+    else:
+        stable_topics = cluster_topics(all_topics, min_samples, min_cluster_size)
+
+    if lift_factor != 1:
+        stable_topics = stable_topics ** lift_factor
+        stable_topics /= stable_topics.sum(axis=1, keepdims=True)
+
+    if model == "plsa":
+        sample_weight = _check_sample_weight(None, X, dtype=np.float32)
+        doc_vectors = plsa_refit(
+            X,
+            stable_topics,
+            sample_weight=sample_weight,
+            e_step_thresh=e_step_thresh,
+            random_state=random_state,
+            backend=backend,
+        )
+    elif model == "nmf":
+        from ..ops.nmf import nmf_fit_mu
+
+        doc_vectors, _ = nmf_fit_mu(
+            X,
+            stable_topics.shape[0],
+            beta_loss=beta_loss,
+            H_init=stable_topics,
+            update_H=False,
+            random_state=random_state,
+        )
+    else:
+        raise ValueError('Model must be one of "plsa" or "nmf"')
+
+    return doc_vectors, stable_topics
+
+
+class EnsembleTopics(TopicModelBase):
+    """Ensemble topic modeling estimator (reference enstop_.py:587-927).
+
+    Fitted attributes: ``components_`` (n_components_, n_words), ``embedding_``,
+    ``training_data_``, and ``n_components_`` — the *discovered* number of stable
+    topics (may differ from ``n_components``).
+    """
+
+    def __init__(
+        self,
+        n_components=10,
+        model="plsa",
+        init="random",
+        n_starts=16,
+        min_samples=3,
+        min_cluster_size=5,
+        n_jobs=8,
+        parallelism="weights",
+        topic_combination="hellinger_umap",
+        bootstrap=True,
+        n_iter=80,
+        n_iter_per_test=10,
+        tolerance=0.001,
+        e_step_thresh=1e-32,
+        lift_factor=1,
+        beta_loss=1,
+        alpha=0.0,
+        solver="mu",
+        transform_random_seed=42,
+        random_state=None,
+        backend="auto",
+    ):
+        self.n_components = n_components
+        self.model = model
+        self.init = init
+        self.n_starts = n_starts
+        self.min_samples = min_samples
+        self.min_cluster_size = min_cluster_size
+        self.n_jobs = n_jobs
+        self.parallelism = parallelism
+        self.topic_combination = topic_combination
+        self.bootstrap = bootstrap
+        self.n_iter = n_iter
+        self.n_iter_per_test = n_iter_per_test
+        self.tolerance = tolerance
+        self.e_step_thresh = e_step_thresh
+        self.lift_factor = lift_factor
+        self.beta_loss = beta_loss
+        self.alpha = alpha
+        self.solver = solver
+        self.transform_random_seed = transform_random_seed
+        self.random_state = random_state
+        self.backend = backend
+
+    def fit_transform(self, X, y=None, **fit_params):
+        X = check_array(X, accept_sparse="csr")
+        if not issparse(X):
+            X = csr_matrix(X)
+
+        U, V = ensemble_fit(
+            X,
+            self.n_components,
+            model=self.model,
+            init=self.init,
+            min_samples=self.min_samples,
+            min_cluster_size=self.min_cluster_size,
+            n_starts=self.n_starts,
+            n_jobs=self.n_jobs,
+            parallelism=self.parallelism,
+            topic_combination=self.topic_combination,
+            bootstrap=self.bootstrap,
+            n_iter=self.n_iter,
+            n_iter_per_test=self.n_iter_per_test,
+            tolerance=self.tolerance,
+            e_step_thresh=self.e_step_thresh,
+            lift_factor=self.lift_factor,
+            beta_loss=self.beta_loss,
+            alpha=self.alpha,
+            solver=self.solver,
+            random_state=self.random_state,
+            backend=self.backend,
+        )
+        self.components_ = V
+        self.embedding_ = U
+        self.training_data_ = X
+        self.n_components_ = self.components_.shape[0]
+        return U
+
+    def transform(self, X, y=None):
+        """Embed new documents against the discovered stable topics."""
+        X = check_array(X, accept_sparse="csr")
+        random_state = check_random_state(self.transform_random_seed)
+        if not issparse(X):
+            X = coo_matrix(X)
+        return plsa_refit(
+            X,
+            self.components_,
+            n_iter=50,
+            n_iter_per_test=5,
+            tolerance=0.001,
+            random_state=random_state,
+            backend=self.backend,
+        )

@@ -36,7 +36,7 @@ def resolve_backend(backend="auto"):
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def _get_steps(backend):
+def _get_steps(backend, precision="highest"):
     """Return (em_step, refit_step, ll_fn) for a backend; signatures match
     :func:`enstop_tpu.ops.em.em_step_dense` etc."""
     if backend == "xla":
@@ -52,21 +52,28 @@ def _get_steps(backend):
         # so the per-iteration step skips the transcendental log sweep.
         def em(X, zd, wz, sample_weight=None):
             return pallas_em.em_step_fused(
-                X, zd, wz, sample_weight=sample_weight, compute_ll=False
+                X, zd, wz, sample_weight=sample_weight,
+                compute_ll=False, precision=precision,
             )
 
         def refit(X, zd, wz, sample_weight=None):
             return pallas_em.refit_step_fused(
-                X, zd, wz, sample_weight=sample_weight, compute_ll=False
+                X, zd, wz, sample_weight=sample_weight,
+                compute_ll=False, precision=precision,
             )
 
-        return em, refit, pallas_em.log_likelihood_fused
+        def ll(X, zd, wz, sample_weight=None):
+            return pallas_em.log_likelihood_fused(
+                X, zd, wz, sample_weight=sample_weight, precision=precision
+            )
+
+        return em, refit, ll
     raise ValueError("Unrecognized backend {!r}".format(backend))
 
 
 @lru_cache(maxsize=64)
-def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit):
-    em_step, refit_step, ll_fn = _get_steps(backend)
+def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="highest"):
+    em_step, refit_step, ll_fn = _get_steps(backend, precision)
 
     @jax.jit
     def run(X, zd, wz, w, tol):
@@ -113,6 +120,7 @@ def plsa_fit(
     random_state=None,
     backend="auto",
     x_dtype=np.float32,
+    precision="highest",
     return_info=False,
 ):
     """Fit pLSA factors ``(P(z|d), P(w|z))`` to a (sparse or dense) count matrix.
@@ -135,7 +143,7 @@ def plsa_fit(
         Xd.shape[0],
     )
 
-    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, False)
+    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, False, precision)
     zd_f, wz_f, steps, final_ll = run(Xd, zd, wz, w, jnp.float32(tolerance))
     zd_out, wz_out = unpad_factors(np.asarray(zd_f), np.asarray(wz_f), n, m, k)
     if return_info:
@@ -154,6 +162,7 @@ def plsa_refit(
     random_state=None,
     backend="auto",
     x_dtype=np.float32,
+    precision="highest",
 ):
     """Fit only ``P(z|d)`` against frozen ``topics`` (reference plsa.py:923-997).
 
@@ -180,6 +189,6 @@ def plsa_refit(
         Xd.shape[0],
     )
 
-    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, True)
+    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, True, precision)
     zd_f, _, _, _ = run(Xd, zd, wz, w, jnp.float32(tolerance))
     return np.asarray(zd_f)[:n, :k]

@@ -45,10 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TINY = 1e-30
 
-# Default tile sizes: Bd=512 keeps the aliased-A read-modify-write traffic at
-# 2*kp/Bd (= 12.5% of X traffic at kp=32); Bw=512 gives MXU-friendly contractions.
-_DEFAULT_BD = 512
-_DEFAULT_BW = 512
+# Default tile sizes, picked empirically on v5e at 20NG scale (see
+# scripts/bench_kernel.py): 256x1024 wins over 512x512 despite higher aliased-A
+# read-modify-write traffic (2*kp/Bd of the X stream).
+_DEFAULT_BD = 256
+_DEFAULT_BW = 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
