@@ -1,0 +1,114 @@
+"""EnsembleTopics: end-to-end stable-topic discovery on structured corpora."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import make_corpus
+from enstop_tpu import EnsembleTopics
+from enstop_tpu.models.ensemble import (
+    ensemble_of_topics,
+    generate_combined_topics_hellinger,
+    generate_combined_topics_hellinger_umap,
+    generate_combined_topics_kl,
+    nmf_topics,
+    plsa_topics,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(7)
+    return make_corpus(rng, n_docs=120, n_words=100, avg_doc_len=60, n_topics_true=4)
+
+
+def test_plsa_topics_worker(corpus):
+    t = plsa_topics(sp.csr_matrix(corpus), 4, random_state=0, n_iter=20)
+    assert t.shape == (4, corpus.shape[1])
+    np.testing.assert_allclose(t.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_nmf_topics_worker(corpus):
+    t = nmf_topics(sp.csr_matrix(corpus), 4, random_state=0)
+    assert t.shape == (4, corpus.shape[1])
+    np.testing.assert_allclose(t.sum(axis=1), 1.0, atol=1e-4)
+    assert (t >= 0).all()
+
+
+def test_ensemble_of_topics_shapes(corpus):
+    X = sp.csr_matrix(corpus)
+    for parallelism in ("weights", "resample"):
+        stack = ensemble_of_topics(
+            X, 3, n_runs=4, parallelism=parallelism, random_state=0, n_iter=15
+        )
+        assert stack.shape == (12, corpus.shape[1])
+        np.testing.assert_allclose(stack.sum(axis=1), 1.0, atol=1e-3)
+
+
+def _topic_stack(corpus, n_runs=8, k=4):
+    return ensemble_of_topics(
+        sp.csr_matrix(corpus), k, n_runs=n_runs, parallelism="weights",
+        random_state=0, n_iter=30,
+    )
+
+
+def test_combiners_produce_probability_topics(corpus):
+    stack = _topic_stack(corpus)
+    for combiner in (
+        generate_combined_topics_kl,
+        generate_combined_topics_hellinger,
+    ):
+        stable = combiner(stack, min_samples=3, min_cluster_size=4)
+        assert stable.ndim == 2 and stable.shape[1] == corpus.shape[1]
+        assert stable.shape[0] >= 1
+        np.testing.assert_allclose(stable.sum(axis=1), 1.0, atol=1e-4)
+    stable = generate_combined_topics_hellinger_umap(
+        stack, min_samples=3, min_cluster_size=4, random_state=0
+    )
+    assert stable.shape[0] >= 1
+    np.testing.assert_allclose(stable.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_ensemble_estimator_end_to_end(corpus):
+    X = sp.csr_matrix(corpus)
+    model = EnsembleTopics(
+        n_components=4, n_starts=6, n_iter=30, min_samples=3, min_cluster_size=4,
+        random_state=42,
+    )
+    emb = model.fit_transform(X)
+    assert model.n_components_ == model.components_.shape[0]
+    assert 1 <= model.n_components_ <= 24
+    assert emb.shape == (corpus.shape[0], model.n_components_)
+    np.testing.assert_allclose(emb.sum(axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(model.components_.sum(axis=1), 1.0, atol=1e-3)
+
+    # recovers roughly the true topic count on a well-structured corpus
+    assert 2 <= model.n_components_ <= 8
+
+    t = model.transform(X[:15])
+    assert t.shape == (15, model.n_components_)
+
+    # metrics work on the discovered topics
+    assert np.isfinite(model.coherence(n_words=8))
+    assert np.isfinite(model.log_lift(n_words=8))
+
+
+def test_ensemble_nmf_backend(corpus):
+    X = sp.csr_matrix(corpus)
+    model = EnsembleTopics(
+        n_components=4, model="nmf", n_starts=4, min_samples=2, min_cluster_size=3,
+        random_state=0,
+    )
+    emb = model.fit_transform(X)
+    assert emb.shape[0] == corpus.shape[0]
+    assert (model.components_ >= 0).all()
+
+
+def test_ensemble_lift_factor(corpus):
+    X = sp.csr_matrix(corpus)
+    m1 = EnsembleTopics(n_components=4, n_starts=4, random_state=1, n_iter=20).fit(X)
+    m2 = EnsembleTopics(
+        n_components=4, n_starts=4, random_state=1, n_iter=20, lift_factor=2
+    ).fit(X)
+    # lift sharpens topics: max prob should not decrease on average
+    assert m2.components_.max(axis=1).mean() >= m1.components_.max(axis=1).mean() - 1e-6

@@ -1,0 +1,63 @@
+"""StreamedPLSA: out-of-core fit must match the in-core path."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from conftest import make_corpus
+from enstop_tpu import PLSA, StreamedPLSA
+from enstop_tpu.ops.init import plsa_init
+
+
+def test_streamed_matches_flat_given_identical_init(rng):
+    X = make_corpus(rng, n_docs=100, n_words=90, seed=11)
+    Xs = sp.csr_matrix(X)
+    pzd0, pwz0 = plsa_init(Xs, 4, rng=np.random.RandomState(3))
+
+    flat = PLSA(n_components=4, init=(pzd0, pwz0), n_iter=20, backend="xla").fit(Xs)
+    streamed = StreamedPLSA(
+        n_components=4, init=(pzd0, pwz0), block_size=32, n_iter=20, backend="xla"
+    ).fit(Xs)
+
+    np.testing.assert_allclose(
+        streamed.components_, flat.components_, rtol=5e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        streamed.embedding_, flat.embedding_, rtol=5e-3, atol=1e-5
+    )
+
+
+def test_streamed_estimator_api(rng):
+    X = make_corpus(rng, n_docs=70, n_words=80, seed=21)
+    model = StreamedPLSA(n_components=3, block_size=16, n_iter=15, random_state=0)
+    emb = model.fit_transform(sp.csr_matrix(X))
+    assert emb.shape == (70, 3)
+    np.testing.assert_allclose(emb.sum(axis=1), 1.0, atol=1e-4)
+    t = model.transform(sp.csr_matrix(X[:9]))
+    assert t.shape == (9, 3)
+    np.testing.assert_allclose(t.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_streamed_sample_weight(rng):
+    X = make_corpus(rng, n_docs=60, n_words=60, seed=5)
+    Xs = sp.csr_matrix(X)
+    w = np.ones(60, np.float32)
+    w[:5] = 30.0
+    pzd0, pwz0 = plsa_init(Xs, 3, rng=np.random.RandomState(3))
+    flat = PLSA(n_components=3, init=(pzd0, pwz0), n_iter=10, backend="xla")
+    flat.fit(Xs, sample_weight=w)
+    streamed = StreamedPLSA(n_components=3, init=(pzd0, pwz0), block_size=16,
+                            n_iter=10, backend="xla")
+    streamed.fit(Xs, sample_weight=w)
+    np.testing.assert_allclose(
+        streamed.components_, flat.components_, rtol=5e-3, atol=1e-5
+    )
+
+
+def test_tpuplsa_alias(rng):
+    from enstop_tpu import GPUPLSA, TPUPLSA
+
+    assert GPUPLSA is TPUPLSA
+    X = make_corpus(rng, n_docs=40, n_words=50, seed=9)
+    model = TPUPLSA(n_components=3, n_iter=5, random_state=0)
+    emb = model.fit_transform(sp.csr_matrix(X))
+    assert emb.shape == (40, 3)
