@@ -1,0 +1,100 @@
+"""Benchmark: pLSA EM throughput at 20-Newsgroups scale (the reference's headline
+workload: ~18.8k docs x ~25k vocab, ~2.2M nonzeros, k=20 topics).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The environment has no network access, so the corpus is a seeded synthetic
+bag-of-words with 20NG's shape: Zipfian vocabulary, 20 latent topics, identical
+doc/vocab/nnz counts.  The metric is EM update throughput (nnz * k responsibilities
+per second) over a full 100-iteration PLSA fit, end-to-end on device (including the
+periodic log-likelihood convergence tests the reference also performs).
+
+Baseline derivation (BASELINE.md): the reference's committed notebook output fits
+PLSA (k=20, n_iter=100, numba kernels) on 20NG in 14.7 s wall => 100 * 2.2e6 * 20 /
+14.7 s = 3.0e8 nnz*k updates/s.  vs_baseline = ours / 3.0e8.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+N_DOCS, N_WORDS, K, TOKENS_PER_DOC = 18846, 25000, 20, 155
+N_ITER = 100
+BASELINE_UPDATES_PER_S = 3.0e8
+
+
+def synthetic_20ng(seed=0):
+    """Seeded synthetic corpus with 20NG's shape and a Zipfian vocabulary."""
+    rng = np.random.RandomState(seed)
+    zipf = 1.0 / np.arange(1, N_WORDS + 1) ** 1.05
+    zipf /= zipf.sum()
+    topics = np.stack([np.roll(zipf, rng.randint(N_WORDS)) for _ in range(K)])
+    topics_cdf = np.cumsum(topics, axis=1)
+    doc_topic = rng.dirichlet(np.full(K, 0.2), size=N_DOCS)
+
+    lengths = rng.poisson(TOKENS_PER_DOC, size=N_DOCS) + 20
+    doc_ids = np.repeat(np.arange(N_DOCS), lengths)
+    T = doc_ids.shape[0]
+
+    # per-token topic via the Gumbel trick (vectorized categorical)
+    g = rng.gumbel(size=(T, K))
+    tok_topic = np.argmax(np.log(doc_topic[doc_ids] + 1e-12) + g, axis=1)
+
+    # per-token word via inverse-CDF within each topic group
+    tok_word = np.empty(T, dtype=np.int64)
+    u = rng.random_sample(T)
+    for z in range(K):
+        mask = tok_topic == z
+        tok_word[mask] = np.searchsorted(topics_cdf[z], u[mask])
+    tok_word = np.clip(tok_word, 0, N_WORDS - 1)
+
+    X = sp.csr_matrix(
+        (np.ones(T, np.float32), (doc_ids, tok_word)), shape=(N_DOCS, N_WORDS)
+    )
+    X.sum_duplicates()
+    return X
+
+
+def main():
+    from enstop_tpu.ops.driver import plsa_fit
+    from enstop_tpu.ops.init import plsa_init
+
+    X = synthetic_20ng()
+    nnz = X.nnz
+    pzd0, pwz0 = plsa_init(X, K, rng=np.random.RandomState(1))
+
+    # warm-up: compile every program shape used by the timed fit
+    plsa_fit(X, K, init=(pzd0.copy(), pwz0.copy()), n_iter=2, n_iter_per_test=10,
+             tolerance=0.0)
+
+    t0 = time.time()
+    _, _, info = plsa_fit(
+        X, K, init=(pzd0.copy(), pwz0.copy()), n_iter=N_ITER, n_iter_per_test=10,
+        tolerance=0.0, return_info=True,
+    )
+    wall = time.time() - t0
+    steps = info["n_steps"]
+
+    updates_per_s = steps * nnz * K / wall
+    print(
+        json.dumps(
+            {
+                "metric": "plsa_em_updates_per_s_20ng_k20",
+                "value": round(updates_per_s / 1e9, 4),
+                "unit": "Gupdates/s (nnz*k per second, 100-iter fit incl. LL tests)",
+                "vs_baseline": round(updates_per_s / BASELINE_UPDATES_PER_S, 2),
+            }
+        )
+    )
+    print(
+        f"# fit: {steps} EM iters, nnz={nnz}, wall={wall:.2f}s, "
+        f"final_ll={info['log_likelihood']:.1f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,11 +72,15 @@ def _get_steps(backend, precision="highest"):
 
 
 @lru_cache(maxsize=64)
-def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="highest"):
+def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
+    """One compiled loop program per (backend, weighted, refit, precision):
+    iteration counts and tolerance are traced scalars, so changing n_iter /
+    n_iter_per_test / tolerance does NOT recompile (the loop program contains
+    the Pallas kernels — its compile is expensive)."""
     em_step, refit_step, ll_fn = _get_steps(backend, precision)
 
     @jax.jit
-    def run(X, zd, wz, w, tol):
+    def run(X, zd, wz, w, tol, n_iter, n_iter_per_test):
         sw = w if weighted else None
 
         if refit:
@@ -95,6 +99,17 @@ def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="
             step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol
         )
         return zd_f, wz_f, steps, final_ll
+
+    return run
+
+
+def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="highest"):
+    inner = _build_fit_fn_cached(backend, weighted, refit, precision)
+
+    def run(X, zd, wz, w, tol):
+        return inner(
+            X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test)
+        )
 
     return run
 

@@ -28,7 +28,9 @@ def em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
     em_step : callable ``state -> (state, ll_of_inputs)``
     ll_fn : callable ``state -> scalar`` log-likelihood of the current state
     state0 : pytree of factors (and any backend-specific carry)
-    n_iter, n_iter_per_test : python ints (static)
+    n_iter, n_iter_per_test : ints — may be *traced* scalars, so one compiled
+        program serves every iteration-count configuration (compilation of the
+        full loop program is expensive; nothing here needs the values statically)
     tolerance : float; relative-improvement threshold (reference plsa.py:630-638:
         stop when ``|cur - prev| == 0`` or ``|cur - prev| / |cur| < tolerance``)
 
@@ -36,8 +38,8 @@ def em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
     -------
     (state, n_steps_done, final_ll)
     """
-    n_iter = int(n_iter)
-    n_iter_per_test = max(1, int(n_iter_per_test))
+    n_iter = jnp.asarray(n_iter, jnp.int32)
+    n_iter_per_test = jnp.maximum(jnp.asarray(n_iter_per_test, jnp.int32), 1)
     tolerance = jnp.float32(tolerance)
 
     prev_ll = ll_fn(state0)

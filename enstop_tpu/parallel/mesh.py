@@ -202,13 +202,14 @@ def shard_inputs(mesh, X, zd, wz, w):
 
 def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):
     """Compiled full-fit program over the mesh: EM loop + convergence entirely
-    on-device; only the final factors come back to the host."""
+    on-device; only the final factors come back to the host.  Iteration counts
+    are closed over as traced scalars (no recompile when they change)."""
     em_step = build_sharded_em_step(mesh, inner=inner, weighted=weighted)
     refit_step = build_sharded_refit_step(mesh, inner=inner)
     ll_fn = build_sharded_ll(mesh, inner=inner, weighted=weighted)
 
     @jax.jit
-    def run(X, zd, wz, w, tol):
+    def run_inner(X, zd, wz, w, tol, n_iter_, npt_):
         if refit:
             def step(state):
                 new_zd, ll = refit_step(X, state[0], state[1])
@@ -222,8 +223,11 @@ def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=Fals
             return ll_fn(X, state[0], state[1], w)
 
         (zd_f, wz_f), steps, final_ll = em_fit_loop(
-            step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol
+            step, ll_of, (zd, wz), n_iter_, npt_, tol
         )
         return zd_f, wz_f, steps, final_ll
+
+    def run(X, zd, wz, w, tol):
+        return run_inner(X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test))
 
     return run
