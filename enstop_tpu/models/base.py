@@ -49,7 +49,7 @@ def reinsert_zero_rows(embedding, good_rows, n_rows, k):
 
 
 class TopicModelBase(BaseEstimator, TransformerMixin):
-    """Base class: fit plumbing + topic-quality metrics.
+    """Base class: fit plumbing + topic-quality metrics + checkpointing.
 
     Fitted attributes (identical contract to the reference):
     ``components_`` (k, n_words), ``embedding_`` (n_docs, k), ``training_data_``.
@@ -58,6 +58,51 @@ class TopicModelBase(BaseEstimator, TransformerMixin):
     def fit(self, X, y=None, **fit_params):
         self.fit_transform(X, **fit_params)
         return self
+
+    # -- checkpoint / resume ---------------------------------------------------
+    # The reference has no persistence beyond pickling the estimator (SURVEY §5);
+    # warm-starts exist only via init=(P(z|d), P(w|z)) tuples (plsa.py:505-506).
+    # save()/load() persist the fitted factors + constructor params; the factor
+    # tuple plugs straight back into `init=` to resume training.
+
+    def save(self, path):
+        """Persist fitted state to an ``.npz`` checkpoint."""
+        payload = {
+            "components_": self.components_,
+            "embedding_": self.embedding_,
+            "params_json": np.frombuffer(
+                __import__("json").dumps(
+                    {k: v for k, v in self.get_params().items()
+                     if isinstance(v, (int, float, str, bool, type(None)))}
+                ).encode(),
+                dtype=np.uint8,
+            ),
+            "class_name": np.frombuffer(type(self).__name__.encode(), dtype=np.uint8),
+        }
+        if hasattr(self, "history_"):
+            payload["history_"] = np.asarray(self.history_)
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def load(cls, path):
+        """Restore an estimator from :meth:`save` output.  ``training_data_`` is
+        not persisted; metrics needing it require a refit or manual assignment."""
+        import json
+
+        with np.load(path, allow_pickle=False) as z:
+            params = json.loads(bytes(z["params_json"]).decode())
+            model = cls(**{k: v for k, v in params.items() if k in cls().get_params()})
+            model.components_ = z["components_"]
+            model.embedding_ = z["embedding_"]
+            if "history_" in z:
+                model.history_ = z["history_"]
+        if hasattr(model, "n_components_") or "n_components_" in dir(cls):
+            model.n_components_ = model.components_.shape[0]
+        return model
+
+    def warm_start_factors(self):
+        """The ``(P(z|d), P(w|z))`` tuple accepted by ``init=`` to resume EM."""
+        return (np.asarray(self.embedding_), np.asarray(self.components_))
 
     # -- topic-quality metrics (reference plsa.py:1222-1285) -------------------
 

@@ -55,7 +55,7 @@ class PLSA(TopicModelBase):
         X, sample_weight = validate_corpus(X, sample_weight)
         data_for_fitting, good_rows, zero_rows_found = split_zero_rows(X)
 
-        U, V = plsa_fit(
+        U, V, info = plsa_fit(
             data_for_fitting,
             self.n_components,
             sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
@@ -66,7 +66,14 @@ class PLSA(TopicModelBase):
             e_step_thresh=self.e_step_thresh,
             random_state=self.random_state,
             backend=self.backend,
+            return_info=True,
         )
+        # Observability the reference computes but discards (plsa.py:630-638):
+        # the log-likelihood trajectory at each convergence test, the iteration
+        # count actually run, and device-side fit throughput.
+        self.history_ = info["ll_trace"]
+        self.n_iter_ = info["n_steps"]
+        self.fit_info_ = info
 
         if zero_rows_found:
             self.embedding_ = reinsert_zero_rows(U, good_rows, X.shape[0], self.n_components)

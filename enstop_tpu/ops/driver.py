@@ -36,6 +36,12 @@ def resolve_backend(backend="auto"):
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _nnz_of(X):
+    from scipy.sparse import issparse
+
+    return int(X.nnz) if issparse(X) else int(np.count_nonzero(X))
+
+
 def _get_steps(backend, precision="highest"):
     """Return (em_step, refit_step, ll_fn) for a backend; signatures match
     :func:`enstop_tpu.ops.em.em_step_dense` etc."""
@@ -95,10 +101,8 @@ def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
         def ll_of(state):
             return ll_fn(X, state[0], state[1], sample_weight=sw)
 
-        (zd_f, wz_f), steps, final_ll = em_fit_loop(
-            step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol
-        )
-        return zd_f, wz_f, steps, final_ll
+        res = em_fit_loop(step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol)
+        return res.state[0], res.state[1], res.n_steps, res.final_ll, res.ll_trace, res.n_tests
 
     return run
 
@@ -109,8 +113,14 @@ def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="
     def run(X, zd, wz, w, tol):
         return inner(
             X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test)
+        )[:4]
+
+    def run_full(X, zd, wz, w, tol):
+        return inner(
+            X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test)
         )
 
+    run.full = run_full
     return run
 
 
@@ -158,11 +168,25 @@ def plsa_fit(
         Xd.shape[0],
     )
 
+    import time as _time
+
     run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), weighted, False, precision)
-    zd_f, wz_f, steps, final_ll = run(Xd, zd, wz, w, jnp.float32(tolerance))
-    zd_out, wz_out = unpad_factors(np.asarray(zd_f), np.asarray(wz_f), n, m, k)
+    t0 = _time.perf_counter()
+    zd_f, wz_f, steps, final_ll, ll_trace, n_tests = run.full(
+        Xd, zd, wz, w, jnp.float32(tolerance)
+    )
+    zd_f, wz_f = np.asarray(zd_f), np.asarray(wz_f)  # sync
+    wall = _time.perf_counter() - t0
+    zd_out, wz_out = unpad_factors(zd_f, wz_f, n, m, k)
     if return_info:
-        return zd_out, wz_out, {"n_steps": int(steps), "log_likelihood": float(final_ll)}
+        steps = int(steps)
+        return zd_out, wz_out, {
+            "n_steps": steps,
+            "log_likelihood": float(final_ll),
+            "ll_trace": np.asarray(ll_trace)[: int(n_tests)],
+            "wall_time_s": wall,
+            "nnz_k_updates_per_s": steps * _nnz_of(X) * k / max(wall, 1e-9),
+        }
     return zd_out, wz_out
 
 

@@ -8,16 +8,32 @@ happen between iterations (unlike the reference GPU path, which downloads factor
 the host for every test, cuda_plsa.py:271-315).
 
 The loop is generic over the step/likelihood implementations so the XLA-matmul,
-fused-Pallas, and mesh-sharded backends all share it.
+fused-Pallas, and mesh-sharded backends all share it.  It also records the
+log-likelihood trajectory at every test point into a fixed-size on-device buffer —
+the reference computes these values but discards them (plsa.py:630-638); here they
+come back for free as ``FitResult.ll_trace`` (observability greenfield, SURVEY §5).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Fixed-size trajectory buffer: static so one compiled program serves every
+# n_iter / n_iter_per_test combination.  128 test points cover n_iter up to
+# 127 * n_iter_per_test; later entries just stop being recorded.
+MAX_LL_TRACE = 128
+
+
+class FitResult(NamedTuple):
+    state: tuple
+    n_steps: jnp.ndarray          # int32 — EM steps executed
+    final_ll: jnp.ndarray         # f32 — last tested log-likelihood
+    ll_trace: jnp.ndarray         # (MAX_LL_TRACE,) f32, NaN-padded
+    n_tests: jnp.ndarray          # int32 — valid entries in ll_trace
 
 
 def em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
@@ -36,20 +52,23 @@ def em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
 
     Returns
     -------
-    (state, n_steps_done, final_ll)
+    :class:`FitResult`
     """
     n_iter = jnp.asarray(n_iter, jnp.int32)
     n_iter_per_test = jnp.maximum(jnp.asarray(n_iter_per_test, jnp.int32), 1)
     tolerance = jnp.float32(tolerance)
 
     prev_ll = ll_fn(state0)
+    trace0 = (
+        jnp.full((MAX_LL_TRACE,), jnp.nan, dtype=jnp.float32).at[0].set(prev_ll)
+    )
 
     def cond(carry):
-        _, done, converged, _ = carry
+        _, done, converged, _, _, _ = carry
         return jnp.logical_and(done < n_iter, jnp.logical_not(converged))
 
     def body(carry):
-        state, done, _, prev = carry
+        state, done, _, prev, trace, t = carry
         # Next stopping point: step 1 for the first chunk, then every npt steps;
         # capped at n_iter (a final partial chunk runs without a test).
         test_point = jnp.where(done == 0, 1, done + n_iter_per_test)
@@ -68,55 +87,21 @@ def em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
             is_test,
             jnp.logical_or(change == 0.0, change / jnp.abs(cur) < tolerance),
         )
+        record = jnp.logical_and(is_test, t < MAX_LL_TRACE)
+        trace = jnp.where(record, trace.at[jnp.minimum(t, MAX_LL_TRACE - 1)].set(cur), trace)
+        t = jnp.where(record, t + 1, t)
         prev = jnp.where(is_test, cur, prev)
-        return (state, next_stop, converged, prev)
+        return (state, next_stop, converged, prev, trace, t)
 
-    state, done, _, prev = lax.while_loop(
-        cond, body, (state0, jnp.int32(0), jnp.asarray(False), prev_ll)
+    state, done, _, prev, trace, t = lax.while_loop(
+        cond,
+        body,
+        (state0, jnp.int32(0), jnp.asarray(False), prev_ll, trace0, jnp.int32(1)),
     )
-    return state, done, prev
+    return FitResult(state, done, prev, trace, t)
 
 
 def em_fit_loop_traced(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance):
-    """Like :func:`em_fit_loop` but also records the per-test log-likelihood
-    trajectory (for observability / parity tests).  Returns
-    ``(state, n_steps, lls, n_tests)`` where ``lls`` has static length
-    ``1 + ceil(n_iter / n_iter_per_test)`` (unused tail entries are NaN)."""
-    n_iter = int(n_iter)
-    npt = max(1, int(n_iter_per_test))
-    tolerance = jnp.float32(tolerance)
-    max_tests = 1 + (n_iter + npt - 1) // npt
-
-    prev_ll = ll_fn(state0)
-    lls0 = jnp.full((max_tests,), jnp.nan, dtype=jnp.float32).at[0].set(prev_ll)
-
-    def cond(carry):
-        _, done, converged, _, _, _ = carry
-        return jnp.logical_and(done < n_iter, jnp.logical_not(converged))
-
-    def body(carry):
-        state, done, _, prev, lls, t = carry
-        test_point = jnp.where(done == 0, 1, done + npt)
-        next_stop = jnp.minimum(n_iter, test_point)
-        is_test = next_stop == test_point
-
-        def stepper(_, s):
-            s, _ll = em_step(s)
-            return s
-
-        state = lax.fori_loop(0, next_stop - done, stepper, state)
-        cur = ll_fn(state)
-        change = jnp.abs(cur - prev)
-        converged = jnp.logical_and(
-            is_test,
-            jnp.logical_or(change == 0.0, change / jnp.abs(cur) < tolerance),
-        )
-        lls = jnp.where(is_test, lls.at[t].set(cur), lls)
-        t = jnp.where(is_test, t + 1, t)
-        prev = jnp.where(is_test, cur, prev)
-        return (state, next_stop, converged, prev, lls, t)
-
-    state, done, _, _, lls, t = lax.while_loop(
-        cond, body, (state0, jnp.int32(0), jnp.asarray(False), prev_ll, lls0, jnp.int32(1))
-    )
-    return state, done, lls, t
+    """Back-compat shim: returns ``(state, n_steps, lls, n_tests)``."""
+    res = em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance)
+    return res.state, res.n_steps, res.ll_trace, res.n_tests

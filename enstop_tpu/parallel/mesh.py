@@ -222,10 +222,8 @@ def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=Fals
         def ll_of(state):
             return ll_fn(X, state[0], state[1], w)
 
-        (zd_f, wz_f), steps, final_ll = em_fit_loop(
-            step, ll_of, (zd, wz), n_iter_, npt_, tol
-        )
-        return zd_f, wz_f, steps, final_ll
+        res = em_fit_loop(step, ll_of, (zd, wz), n_iter_, npt_, tol)
+        return res.state[0], res.state[1], res.n_steps, res.final_ll
 
     def run(X, zd, wz, w, tol):
         return run_inner(X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test))
