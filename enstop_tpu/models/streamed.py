@@ -96,13 +96,16 @@ def streamed_plsa_fit(
     n_blocks = -(-n // block_docs)
     n_pad = n_blocks * block_docs
 
-    # densified numpy blocks (host cache; H2D re-streamed every iteration)
+    # densified numpy blocks (host cache; H2D re-streamed every iteration),
+    # packed by the native OpenMP scatter (enstop_tpu/native/packer.c)
+    from ..native import densify_csr_rows
+
     blocks = []
     for b in range(n_blocks):
         lo, hi = b * block_docs, min((b + 1) * block_docs, n)
         blk = np.zeros((block_docs, m_pad), dtype=np.float32)
         if Xcsr is not None:
-            blk[: hi - lo, :m] = Xcsr[lo:hi].toarray()
+            densify_csr_rows(Xcsr, lo, hi, blk)
         else:
             blk[: hi - lo, :m] = X[lo:hi]
         blocks.append(blk)
@@ -224,6 +227,8 @@ def streamed_plsa_refit(
 
         return jax.lax.fori_loop(0, int(n_iter), body, zdb)
 
+    from ..native import densify_csr_rows
+
     Xcsr = X.tocsr() if issparse(X) else None
     n_blocks = -(-n // block_docs)
     out = np.zeros((n, k), dtype=np.float32)
@@ -231,7 +236,7 @@ def streamed_plsa_refit(
         lo, hi = b * block_docs, min((b + 1) * block_docs, n)
         blk = np.zeros((block_docs, m_pad), dtype=np.float32)
         if Xcsr is not None:
-            blk[: hi - lo, :m] = Xcsr[lo:hi].toarray()
+            densify_csr_rows(Xcsr, lo, hi, blk)
         else:
             blk[: hi - lo, :m] = X[lo:hi]
         zb = np.zeros((block_docs, kp), dtype=np.float32)

@@ -1,0 +1,114 @@
+"""Native host-side runtime components (C + OpenMP), ctypes-bound.
+
+Compiled lazily with the system compiler on first use and cached next to the
+source; every entry point has a numpy fallback, so the package works without a
+toolchain.  See packer.c for what lives here and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_HERE, "_packer.so")
+_SRC_PATH = os.path.join(_HERE, "packer.c")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    for cc in ("cc", "gcc", "clang"):
+        for extra in (["-fopenmp"], []):
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-march=native", "-shared", "-fPIC", *extra,
+                     _SRC_PATH, "-o", _SO_PATH],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                return True
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    subprocess.TimeoutExpired):
+                continue
+    return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        lib.densify_csr_rows.argtypes = [
+            i64p, i32p, f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p,
+        ]
+        lib.densify_csr_rows.restype = None
+        lib.densify_csr_gather.argtypes = [
+            i64p, i32p, f32p, i64p,
+            ctypes.c_int64, ctypes.c_int64, f32p,
+        ]
+        lib.densify_csr_gather.restype = None
+        lib.packer_num_threads.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def _csr_arrays(X):
+    indptr = np.ascontiguousarray(X.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(X.indices, dtype=np.int32)
+    data = np.ascontiguousarray(X.data, dtype=np.float32)
+    return indptr, indices, data
+
+
+def densify_csr_rows(X, row_start, row_end, out):
+    """Scatter CSR rows [row_start, row_end) into the zeroed f32 buffer ``out``
+    of shape (row_end - row_start <= out.shape[0], out_cols >= X.shape[1])."""
+    lib = get_lib()
+    if lib is None:
+        sub = X[row_start:row_end]
+        coo = sub.tocoo()
+        np.add.at(out, (coo.row, coo.col), coo.data.astype(np.float32))
+        return out
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.float32
+    indptr, indices, data = _csr_arrays(X)
+    lib.densify_csr_rows(
+        indptr, indices, data, row_start, row_end, out.shape[1], out
+    )
+    return out
+
+
+def densify_csr_gather(X, sample_ids, out):
+    """Bootstrap densify: ``out[r] = X[sample_ids[r]]`` (f32, zeroed ``out``)."""
+    lib = get_lib()
+    if lib is None:
+        sub = X[np.asarray(sample_ids)]
+        coo = sub.tocoo()
+        np.add.at(out, (coo.row, coo.col), coo.data.astype(np.float32))
+        return out
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.float32
+    indptr, indices, data = _csr_arrays(X)
+    ids = np.ascontiguousarray(sample_ids, dtype=np.int64)
+    lib.densify_csr_gather(
+        indptr, indices, data, ids, ids.shape[0], out.shape[1], out
+    )
+    return out

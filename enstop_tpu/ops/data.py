@@ -38,9 +38,15 @@ def pad_dense_counts(X, row_multiple=8, col_multiple=128, dtype=np.float32):
     mp_ = round_up(max(m, 1), col_multiple)
     out = np.zeros((np_, mp_), dtype=dtype)
     if issparse(X):
-        coo = X.tocoo()
-        # duplicate-coordinate safety: accumulate
-        np.add.at(out, (coo.row, coo.col), coo.data.astype(dtype))
+        if dtype == np.float32:
+            # native OpenMP row scatter (enstop_tpu/native/packer.c); ~5x
+            # np.add.at on warm pages, numpy fallback inside when no toolchain
+            from ..native import densify_csr_rows
+
+            densify_csr_rows(X.tocsr(), 0, n, out)
+        else:
+            coo = X.tocoo()
+            np.add.at(out, (coo.row, coo.col), coo.data.astype(dtype))
     else:
         out[:n, :m] = np.asarray(X, dtype=dtype)
     return out, n, m
