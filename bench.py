@@ -28,33 +28,9 @@ BASELINE_UPDATES_PER_S = 3.0e8
 
 def synthetic_20ng(seed=0):
     """Seeded synthetic corpus with 20NG's shape and a Zipfian vocabulary."""
-    rng = np.random.RandomState(seed)
-    zipf = 1.0 / np.arange(1, N_WORDS + 1) ** 1.05
-    zipf /= zipf.sum()
-    topics = np.stack([np.roll(zipf, rng.randint(N_WORDS)) for _ in range(K)])
-    topics_cdf = np.cumsum(topics, axis=1)
-    doc_topic = rng.dirichlet(np.full(K, 0.2), size=N_DOCS)
+    from enstop_tpu.synthetic import twenty_newsgroups_shape
 
-    lengths = rng.poisson(TOKENS_PER_DOC, size=N_DOCS) + 20
-    doc_ids = np.repeat(np.arange(N_DOCS), lengths)
-    T = doc_ids.shape[0]
-
-    # per-token topic via the Gumbel trick (vectorized categorical)
-    g = rng.gumbel(size=(T, K))
-    tok_topic = np.argmax(np.log(doc_topic[doc_ids] + 1e-12) + g, axis=1)
-
-    # per-token word via inverse-CDF within each topic group
-    tok_word = np.empty(T, dtype=np.int64)
-    u = rng.random_sample(T)
-    for z in range(K):
-        mask = tok_topic == z
-        tok_word[mask] = np.searchsorted(topics_cdf[z], u[mask])
-    tok_word = np.clip(tok_word, 0, N_WORDS - 1)
-
-    X = sp.csr_matrix(
-        (np.ones(T, np.float32), (doc_ids, tok_word)), shape=(N_DOCS, N_WORDS)
-    )
-    X.sum_duplicates()
+    X, _ = twenty_newsgroups_shape(seed=seed)
     return X
 
 

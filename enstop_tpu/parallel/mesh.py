@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import em as em_ops
 from ..ops.fit import em_fit_loop
@@ -98,7 +98,7 @@ def build_sharded_em_step(mesh, inner="xla", weighted=True):
         mesh=mesh,
         in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab"), P("docs")),
         out_specs=(P("docs", None), P(None, "vocab"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(X, zd, wz, w):
         A_l, B_l, ll_l = accum(X, zd, wz, w if weighted else None)
@@ -137,7 +137,7 @@ def build_sharded_ll(mesh, inner="xla", weighted=True):
         mesh=mesh,
         in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab"), P("docs")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def ll_fn(X, zd, wz, w):
         return lax.psum(local_ll(X, zd, wz, w if weighted else None), ("docs", "vocab"))
@@ -176,7 +176,7 @@ def build_sharded_refit_step(mesh, inner="xla"):
         mesh=mesh,
         in_specs=(P("docs", "vocab"), P("docs", None), P(None, "vocab")),
         out_specs=(P("docs", None), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(X, zd, wz):
         B_l, ll_l = local(X, zd, wz)
