@@ -5,6 +5,24 @@ pLSA via matmul-form EM on the MXU, mesh-sharded and streamed variants, and
 ensemble topic modeling with stable-topic clustering.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the compiled EM-loop programs are expensive
+# to build (tens of seconds on TPU) and fully reusable across processes.
+# Opt out with ENSTOP_TPU_NO_COMPILE_CACHE=1 or by pre-setting a cache dir.
+if not _os.environ.get("ENSTOP_TPU_NO_COMPILE_CACHE"):
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/enstop_tpu/xla"),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is a best-effort optimization
+        pass
+
 from .models.plsa import PLSA
 from .ops.metrics import coherence, log_lift, mean_coherence, mean_log_lift
 from .utils import normalize, standardize_input

@@ -139,6 +139,53 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     return np.vstack(topics_out)
 
 
+def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
+                       n_iter=100, n_iter_per_test=10, tolerance=0.001,
+                       backend="auto"):
+    """All bootstrap fits in one compiled SPMD program, runs sharded over
+    devices (see parallel/mesh.py:build_ensemble_runs_sharded)."""
+    from ..parallel import mesh as mesh_lib
+
+    backend = resolve_backend(backend)
+    inner = "pallas" if backend == "pallas" else "xla"
+    devices = jax.devices()
+    n_shards = min(len(devices), n_runs)
+    while n_runs % n_shards:
+        n_shards -= 1
+    mesh = mesh_lib.make_runs_mesh(n_shards)
+
+    rm, cm = _layout_multiples(backend, *X.shape)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+
+    zds, wzs, ws = [], [], []
+    for _ in range(n_runs):
+        pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
+        zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+        zds.append(zd)
+        wzs.append(wz)
+        if bootstrap:
+            counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
+        else:
+            counts = np.ones(n, np.float32)
+        ws.append(pad_vector(counts, Xd.shape[0]))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    Xs = put(Xd, P())
+    zds = put(np.stack(zds), P("runs"))
+    wzs = put(np.stack(wzs), P("runs"))
+    ws = put(np.stack(ws), P("runs"))
+
+    run = mesh_lib.build_ensemble_runs_sharded(mesh, inner=inner)
+    _, wz_f, _, _ = run(
+        Xs, zds, wzs, ws, jnp.float32(tolerance),
+        jnp.int32(n_iter), jnp.int32(n_iter_per_test),
+    )
+    wz_f = np.asarray(wz_f)  # (n_runs, kp, m_pad)
+    return wz_f[:, :k, : X.shape[1]].reshape(n_runs * k, X.shape[1])
+
+
 def ensemble_of_topics(
     X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="weights", **kwargs
 ):
@@ -147,11 +194,28 @@ def ensemble_of_topics(
     ``parallelism``:
       * ``"weights"`` (default) — device-resident multinomial-weight bootstraps
         (no per-run data copies; the TPU-native path);
+      * ``"sharded"`` — every run in one compiled SPMD program, sharded over all
+        devices (the multi-chip fan-out; on one device it removes host dispatch
+        between runs);
       * ``"resample"`` / ``"none"`` — materialized row-resample per run, exactly
         the reference's sampling (enstop_.py:87-88), fits run sequentially;
       * ``"joblib"`` / ``"dask"`` — accepted for API parity, mapped to
         ``"resample"`` (thread fan-out does not help a device-bound workload).
     """
+    if model == "plsa" and parallelism == "sharded":
+        rng = check_random_state(kwargs.get("random_state", None))
+        return _sharded_plsa_runs(
+            X,
+            k,
+            n_runs,
+            rng,
+            bootstrap=kwargs.get("bootstrap", True),
+            init=kwargs.get("init", "random"),
+            n_iter=kwargs.get("n_iter", 100),
+            n_iter_per_test=kwargs.get("n_iter_per_test", 10),
+            tolerance=kwargs.get("tolerance", 0.001),
+            backend=kwargs.get("backend", "auto"),
+        )
     if model == "plsa" and parallelism == "weights":
         rng = check_random_state(kwargs.get("random_state", None))
         return _device_resident_plsa_runs(

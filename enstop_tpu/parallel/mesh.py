@@ -189,6 +189,68 @@ def build_sharded_refit_step(mesh, inner="xla"):
     return step
 
 
+def make_runs_mesh(n_shards=None, devices=None):
+    """1D mesh over ensemble bootstrap runs (embarrassing parallelism axis)."""
+    devices = devices if devices is not None else jax.devices()
+    n_shards = n_shards or len(devices)
+    return Mesh(np.asarray(devices[:n_shards]), axis_names=("runs",))
+
+
+def build_ensemble_runs_sharded(mesh, inner="xla"):
+    """All bootstrap fits as ONE compiled program: the corpus is replicated, the
+    per-run factors/weights are sharded over the ``runs`` axis, and each device
+    sweeps its local runs with ``lax.map`` — each element running the full
+    on-device EM loop (convergence tests included).
+
+    This replaces the reference's dask/joblib *thread* fan-out over CPU fits
+    (enstop_.py:209-229) with SPMD over chips; with one device it still wins by
+    removing all host dispatch between runs.
+    """
+    accum = _local_accumulators(inner)
+    if inner == "pallas":
+        from ..ops import pallas_em
+
+        local_ll = lambda X, zd, wz, w: pallas_em.log_likelihood_fused(
+            X, zd, wz, sample_weight=w
+        )
+    else:
+        local_ll = em_ops.log_likelihood_dense
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("runs"), P("runs"), P("runs"), P(), P(), P()),
+        out_specs=(P("runs"), P("runs"), P("runs"), P("runs")),
+        check_vma=False,
+    )
+    def run_local(X, zds, wzs, ws, tol, n_iter, npt):
+        def one(args):
+            zd0, wz0, w = args
+
+            def step(state):
+                zd, wz = state
+                A, B, _ = accum(X, zd, wz, w)
+                num_wz = wz * A
+                new_wz = num_wz / jnp.maximum(num_wz.sum(1, keepdims=True), _TINY)
+                num_zd = zd * B
+                new_zd = num_zd / jnp.maximum(num_zd.sum(1, keepdims=True), _TINY)
+                return (new_zd, new_wz), jnp.float32(0.0)
+
+            def ll_of(state):
+                return local_ll(X, state[0], state[1], w)
+
+            res = em_fit_loop(step, ll_of, (zd0, wz0), n_iter, npt, tol)
+            return res.state[0], res.state[1], res.final_ll, res.n_steps
+
+        return lax.map(one, (zds, wzs, ws))
+
+    @jax.jit
+    def run(X, zds, wzs, ws, tol, n_iter, npt):
+        return run_local(X, zds, wzs, ws, tol, n_iter, npt)
+
+    return run
+
+
 def shard_inputs(mesh, X, zd, wz, w):
     """Place padded host arrays onto the mesh with the canonical shardings."""
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))

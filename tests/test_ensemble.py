@@ -112,3 +112,35 @@ def test_ensemble_lift_factor(corpus):
     ).fit(X)
     # lift sharpens topics: max prob should not decrease on average
     assert m2.components_.max(axis=1).mean() >= m1.components_.max(axis=1).mean() - 1e-6
+
+
+def test_sharded_parallelism_runs_on_device_mesh(corpus):
+    """All bootstrap fits as one SPMD program over the 8-device CPU mesh."""
+    import scipy.sparse as sp
+
+    X = sp.csr_matrix(corpus)
+    stack = ensemble_of_topics(
+        X, 3, n_runs=8, parallelism="sharded", random_state=0, n_iter=15
+    )
+    assert stack.shape == (24, corpus.shape[1])
+    np.testing.assert_allclose(stack.sum(axis=1), 1.0, atol=1e-3)
+    # sharded and weights modes draw different RNG streams but must produce
+    # comparably structured topics (finite, normalized, non-degenerate)
+    assert np.isfinite(stack).all()
+    assert (stack >= 0).all()
+
+
+def test_sharded_matches_weights_given_same_draws(corpus):
+    """With bootstrap off and identical inits, sharded == sequential weights."""
+    import scipy.sparse as sp
+
+    X = sp.csr_matrix(corpus)
+    s1 = ensemble_of_topics(
+        X, 3, n_runs=4, parallelism="sharded", random_state=7, n_iter=12,
+        bootstrap=False,
+    )
+    s2 = ensemble_of_topics(
+        X, 3, n_runs=4, parallelism="weights", random_state=7, n_iter=12,
+        bootstrap=False,
+    )
+    np.testing.assert_allclose(s1, s2, rtol=5e-3, atol=1e-5)
