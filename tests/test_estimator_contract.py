@@ -1,0 +1,71 @@
+"""sklearn estimator contract across every public model class (SURVEY §4a)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from sklearn.base import clone
+
+from conftest import make_corpus
+from enstop_tpu import (
+    PLSA,
+    BlockParallelPLSA,
+    DistributedPLSA,
+    EnsembleTopics,
+    StreamedPLSA,
+    TPUPLSA,
+)
+
+ALL_CLASSES = [
+    PLSA,
+    StreamedPLSA,
+    BlockParallelPLSA,
+    DistributedPLSA,
+    TPUPLSA,
+    EnsembleTopics,
+]
+
+
+def _fast_params(cls):
+    p = {"n_components": 3, "n_iter": 8, "random_state": 0}
+    if cls is EnsembleTopics:
+        p.update(n_starts=4, min_samples=2, min_cluster_size=3)
+    return p
+
+
+@pytest.fixture(scope="module")
+def X():
+    return sp.csr_matrix(make_corpus(np.random.RandomState(0), n_docs=50, n_words=60))
+
+
+@pytest.mark.parametrize("cls", ALL_CLASSES, ids=lambda c: c.__name__)
+def test_get_set_params_and_clone(cls):
+    model = cls(**_fast_params(cls))
+    params = model.get_params()
+    assert params["n_components"] == 3
+    cloned = clone(model)
+    assert cloned.get_params() == params
+    model.set_params(n_iter=5)
+    assert model.get_params()["n_iter"] == 5
+
+
+@pytest.mark.parametrize("cls", ALL_CLASSES, ids=lambda c: c.__name__)
+def test_fit_transform_contract(cls, X):
+    model = cls(**_fast_params(cls))
+    emb = model.fit_transform(X)
+    k_fit = getattr(model, "n_components_", model.n_components)
+    assert emb.shape == (X.shape[0], k_fit)
+    assert model.components_.shape == (k_fit, X.shape[1])
+    assert model.embedding_ is emb or np.array_equal(model.embedding_, emb)
+    assert model.training_data_ is not None
+    # fit().transform() path
+    t = model.transform(X[:7])
+    assert t.shape == (7, k_fit)
+    # fit returns self
+    assert cls(**_fast_params(cls)).fit(X) is not None
+
+
+@pytest.mark.parametrize("cls", ALL_CLASSES, ids=lambda c: c.__name__)
+def test_metrics_available(cls, X):
+    model = cls(**_fast_params(cls)).fit(X)
+    assert np.isfinite(model.coherence(n_words=5))
+    assert np.isfinite(model.log_lift(n_words=5))
