@@ -156,12 +156,26 @@ class PreparedCounts:
         return (self.n, self.m)
 
 
+def _is_bf16(x_dtype):
+    return x_dtype in ("bfloat16", jnp.bfloat16) or (
+        hasattr(x_dtype, "name") and getattr(x_dtype, "name", "") == "bfloat16"
+    )
+
+
 def prepare_counts(X, backend="auto", x_dtype=np.float32):
-    """Densify, pad, and ship a count matrix to the device once."""
+    """Densify, pad, and ship a count matrix to the device once.
+
+    ``x_dtype="bfloat16"`` stores the device copy in bf16, halving the per-
+    iteration HBM stream (counts up to 256 are exact in bf16; larger counts and
+    l1-normalized float inputs round to 8 bits of mantissa — fine for topic
+    quality, not for strict LL parity).
+    """
     backend = resolve_backend(backend)
     rm, cm = _layout_multiples(backend, *X.shape)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=x_dtype)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
     dev = jax.device_put(Xd)
+    if _is_bf16(x_dtype):
+        dev = jax.jit(lambda a: a.astype(jnp.bfloat16))(dev)
     return PreparedCounts(dev, n, m, _nnz_of(X), backend)
 
 
@@ -207,8 +221,10 @@ def plsa_fit(
         backend = resolve_backend(backend)
         p_z_given_d, p_w_given_z = plsa_init(X, k, init=init, rng=rng)
         rm, cm = _layout_multiples(backend, *X.shape)
-        Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=x_dtype)
+        Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
         nnz = _nnz_of(X)
+        if _is_bf16(x_dtype):
+            Xd = jax.jit(lambda a: a.astype(jnp.bfloat16))(jax.device_put(Xd))
 
     zd, wz = pad_factors(p_z_given_d, p_w_given_z, Xd.shape[0], Xd.shape[1])
 

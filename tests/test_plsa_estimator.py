@@ -108,3 +108,26 @@ def test_metrics_methods(small_corpus):
     assert np.isfinite(c0)
     with pytest.raises(ValueError):
         model.coherence(topic_num=99)
+
+
+def test_bfloat16_storage_close_to_f32(small_corpus):
+    X = sp.csr_matrix(small_corpus)
+    pzd0, pwz0 = plsa_init(small_corpus, 4, rng=np.random.RandomState(2))
+    zd32, wz32 = plsa_fit(X, 4, init=(pzd0, pwz0), n_iter=15)
+    zd16, wz16 = plsa_fit(X, 4, init=(pzd0, pwz0), n_iter=15, x_dtype="bfloat16")
+    # bf16 counts (integers < 256) are exact; trajectories should agree closely
+    np.testing.assert_allclose(wz16, wz32, rtol=5e-2, atol=1e-4)
+
+
+def test_prepared_counts_reuse(small_corpus):
+    from enstop_tpu.ops.driver import prepare_counts
+
+    X = sp.csr_matrix(small_corpus)
+    prep = prepare_counts(X)
+    pzd0, pwz0 = plsa_init(small_corpus, 4, rng=np.random.RandomState(2))
+    zd_a, wz_a = plsa_fit(prep, 4, init=(pzd0, pwz0), n_iter=15)
+    zd_b, wz_b = plsa_fit(X, 4, init=(pzd0, pwz0), n_iter=15)
+    np.testing.assert_allclose(wz_a, wz_b, rtol=1e-5, atol=1e-7)
+    # random init works from shape alone
+    zd_c, wz_c = plsa_fit(prep, 4, init="random", n_iter=5, random_state=0)
+    assert wz_c.shape == (4, small_corpus.shape[1])
