@@ -113,7 +113,7 @@ def nmf_topics(X, k, **kwargs):
 
 def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                               backend="auto", precision="highest"):
+                               backend="auto", precision="default"):
     """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
     of X, expressing each bootstrap as multinomial document weights."""
     backend = resolve_backend(backend)
