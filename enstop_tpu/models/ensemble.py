@@ -121,8 +121,7 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
     Xdev = jnp.asarray(Xd)
 
-    run_weighted = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
-    run_plain = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), False, False, precision)
+    run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
 
     topics_out = []
     for _ in range(n_runs):
@@ -130,11 +129,10 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
         if bootstrap:
             counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
-            w = pad_vector(counts, Xd.shape[0])
-            _, wz_f, _, _ = run_weighted(Xdev, zd, wz, w, jnp.float32(tolerance))
         else:
-            w = pad_vector(np.ones(n, np.float32), Xd.shape[0])
-            _, wz_f, _, _ = run_plain(Xdev, zd, wz, w, jnp.float32(tolerance))
+            counts = np.ones(n, np.float32)
+        w = pad_vector(counts, Xd.shape[0])
+        _, wz_f, _, _ = run(Xdev, zd, wz, w, jnp.float32(tolerance))
         topics_out.append(np.asarray(wz_f)[:k, : X.shape[1]])
     return np.vstack(topics_out)
 

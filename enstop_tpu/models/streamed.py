@@ -135,14 +135,14 @@ def streamed_plsa_fit(
 
     @jax.jit
     def block_step(Xb, zdb, wz, wb):
-        A_b, B_b, _ = accum(Xb, zdb, wz, wb if weighted else None)
+        A_b, B_b, _ = accum(Xb, zdb, wz, wb)
         num_zd = zdb * B_b
         new_zdb = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
         return A_b, new_zdb
 
     @jax.jit
     def block_ll(Xb, zdb, wz, wb):
-        return accum_ll(Xb, zdb, wz, wb if weighted else None)
+        return accum_ll(Xb, zdb, wz, wb)
 
     @jax.jit
     def finish_wz(wz, A_acc):

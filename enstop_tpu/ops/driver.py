@@ -79,15 +79,18 @@ def _get_steps(backend, precision="highest"):
 
 @lru_cache(maxsize=64)
 def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
-    """One compiled loop program per (backend, weighted, refit, precision):
-    iteration counts and tolerance are traced scalars, so changing n_iter /
-    n_iter_per_test / tolerance does NOT recompile (the loop program contains
-    the Pallas kernels — its compile is expensive)."""
+    """One compiled loop program per (backend, refit, precision): iteration
+    counts and tolerance are traced scalars, and unweighted fits pass all-ones
+    weights (bit-identical math), so neither changing n_iter/n_iter_per_test/
+    tolerance nor toggling sample weights recompiles (the loop program contains
+    the Pallas kernels — its compile is expensive, especially under remote
+    compilation)."""
+    del weighted  # unified: w == ones reproduces the unweighted math exactly
     em_step, refit_step, ll_fn = _get_steps(backend, precision)
 
     @jax.jit
     def run(X, zd, wz, w, tol, n_iter, n_iter_per_test):
-        sw = w if weighted else None
+        sw = w
 
         if refit:
             def step(state):
@@ -108,7 +111,8 @@ def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
 
 
 def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="highest"):
-    inner = _build_fit_fn_cached(backend, weighted, refit, precision)
+    del weighted  # see _build_fit_fn_cached: one unified weighted program
+    inner = _build_fit_fn_cached(backend, False, refit, precision)
 
     def run(X, zd, wz, w, tol):
         return inner(

@@ -101,7 +101,7 @@ def build_sharded_em_step(mesh, inner="xla", weighted=True):
         check_vma=False,
     )
     def step(X, zd, wz, w):
-        A_l, B_l, ll_l = accum(X, zd, wz, w if weighted else None)
+        A_l, B_l, ll_l = accum(X, zd, wz, w)
         # Cross-tile shard reduction — the reference's axis-0 sums
         # (block_parallel_plsa.py:182-185) as ICI collectives:
         A = lax.psum(A_l, "docs")        # P(w|z) accumulator: full over local vocab
@@ -140,7 +140,7 @@ def build_sharded_ll(mesh, inner="xla", weighted=True):
         check_vma=False,
     )
     def ll_fn(X, zd, wz, w):
-        return lax.psum(local_ll(X, zd, wz, w if weighted else None), ("docs", "vocab"))
+        return lax.psum(local_ll(X, zd, wz, w), ("docs", "vocab"))
 
     return ll_fn
 
