@@ -32,13 +32,21 @@ import jax
 import jax.numpy as jnp
 
 from ..cluster.distances import all_pairs_hellinger_distance, all_pairs_kl_divergence
-from ..cluster.hdbscan import HDBSCAN, hdbscan_labels, mutual_reachability, mst_linkage, single_linkage_tree, condense_tree, compute_stability, select_clusters, labels_and_probabilities
+from ..cluster.hdbscan import (
+    HDBSCAN,
+    compute_stability,
+    condense_tree,
+    labels_and_probabilities,
+    mst_linkage,
+    select_clusters,
+    single_linkage_tree,
+)
 from ..cluster.umap import umap_embed
 from ..ops.driver import plsa_fit, plsa_refit, resolve_backend, _build_fit_fn, _layout_multiples
 from ..ops.data import pad_dense_counts, pad_factors, pad_vector
 from ..ops.init import plsa_init
 from ..utils import _check_sample_weight, normalized
-from .base import TopicModelBase, validate_corpus
+from .base import TopicModelBase
 
 
 # ---------------------------------------------------------------------------

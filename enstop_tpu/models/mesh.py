@@ -29,7 +29,6 @@ from ..ops.data import pad_dense_counts, pad_factors, pad_vector
 from ..ops.driver import resolve_backend
 from ..ops.init import plsa_init
 from ..parallel import mesh as mesh_lib
-from ..utils import _check_sample_weight
 from .base import TopicModelBase, reinsert_zero_rows, split_zero_rows, validate_corpus
 
 

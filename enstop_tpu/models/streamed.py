@@ -30,10 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import em as em_ops
-from ..ops.data import pad_dense_counts, pad_factors, round_up
+from ..ops.data import round_up
 from ..ops.driver import resolve_backend
 from ..ops.init import plsa_init
-from ..utils import _check_sample_weight
 from .base import TopicModelBase, reinsert_zero_rows, split_zero_rows, validate_corpus
 
 _TINY = 1e-30

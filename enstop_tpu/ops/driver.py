@@ -15,7 +15,7 @@ Backends
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 from sklearn.utils import check_random_state
 
 from . import em as em_ops
-from .data import pad_dense_counts, pad_factors, pad_vector, round_up, unpad_factors
+from .data import pad_dense_counts, pad_factors, pad_vector, unpad_factors
 from .fit import em_fit_loop
 from .init import plsa_init
 

@@ -26,7 +26,7 @@ single-chip path, so the mesh backend is a thin collective layer.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
