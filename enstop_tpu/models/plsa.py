@@ -51,7 +51,39 @@ class PLSA(TopicModelBase):
         self.backend = backend
 
     def fit_transform(self, X, y=None, sample_weight=None):
-        """Fit and return the document embedding ``P(z|d)``."""
+        """Fit and return the document embedding ``P(z|d)``.
+
+        ``X`` may be a scipy sparse / dense matrix, or a
+        :class:`~enstop_tpu.ops.driver.PreparedCounts` (device-resident, padded;
+        see ``prepare_counts``) to skip densify + transfer on repeated fits —
+        in that case validation/zero-row handling are skipped (zero rows come
+        back as zero embeddings natively) and ``training_data_`` is not set.
+        """
+        from ..ops.driver import PreparedCounts
+
+        if isinstance(X, PreparedCounts):
+            from ..utils import _check_sample_weight
+
+            sample_weight = _check_sample_weight(sample_weight, X, dtype=np.float32)
+            U, V, info = plsa_fit(
+                X,
+                self.n_components,
+                sample_weight=sample_weight,
+                init=self.init,
+                n_iter=self.n_iter,
+                n_iter_per_test=self.n_iter_per_test,
+                tolerance=self.tolerance,
+                e_step_thresh=self.e_step_thresh,
+                random_state=self.random_state,
+                return_info=True,
+            )
+            self.embedding_, self.components_ = U, V
+            self.training_data_ = None
+            self.history_ = info["ll_trace"]
+            self.n_iter_ = info["n_steps"]
+            self.fit_info_ = info
+            return self.embedding_
+
         X, sample_weight = validate_corpus(X, sample_weight)
         data_for_fitting, good_rows, zero_rows_found = split_zero_rows(X)
 

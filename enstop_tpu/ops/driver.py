@@ -174,7 +174,11 @@ def prepare_counts(X, backend="auto", x_dtype=np.float32):
     l1-normalized float inputs round to 8 bits of mantissa — fine for topic
     quality, not for strict LL parity).
     """
+    from ..utils import standardize_input
+
     backend = resolve_backend(backend)
+    X = standardize_input(X)  # float inputs are l1-row-normalized, like the
+    # estimator entry points (reference plsa.py:1139, utils.py:276-280)
     rm, cm = _layout_multiples(backend, *X.shape)
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
     dev = jax.device_put(Xd)

@@ -122,7 +122,9 @@ def test_bfloat16_storage_close_to_f32(small_corpus):
 def test_prepared_counts_reuse(small_corpus):
     from enstop_tpu.ops.driver import prepare_counts
 
-    X = sp.csr_matrix(small_corpus)
+    # integer counts: standardize_input is a no-op, so the prepared and raw
+    # paths see identical data (float inputs are l1-normalized when prepared)
+    X = sp.csr_matrix(small_corpus.astype(np.int64))
     prep = prepare_counts(X)
     pzd0, pwz0 = plsa_init(small_corpus, 4, rng=np.random.RandomState(2))
     zd_a, wz_a = plsa_fit(prep, 4, init=(pzd0, pwz0), n_iter=15)
@@ -131,3 +133,16 @@ def test_prepared_counts_reuse(small_corpus):
     # random init works from shape alone
     zd_c, wz_c = plsa_fit(prep, 4, init="random", n_iter=5, random_state=0)
     assert wz_c.shape == (4, small_corpus.shape[1])
+
+
+def test_estimator_accepts_prepared_counts(small_corpus):
+    from enstop_tpu.ops.driver import prepare_counts
+
+    prep = prepare_counts(sp.csr_matrix(small_corpus))
+    model = PLSA(n_components=4, n_iter=10, random_state=0)
+    emb = model.fit_transform(prep)
+    assert emb.shape == (small_corpus.shape[0], 4)
+    ref = PLSA(n_components=4, n_iter=10, random_state=0).fit_transform(
+        sp.csr_matrix(small_corpus)
+    )
+    np.testing.assert_allclose(emb, ref, rtol=1e-5, atol=1e-7)
