@@ -27,10 +27,25 @@ BASELINE_UPDATES_PER_S = 3.0e8
 
 
 def synthetic_20ng(seed=0):
-    """Seeded synthetic corpus with 20NG's shape and a Zipfian vocabulary."""
+    """Seeded synthetic corpus with 20NG's shape and a Zipfian vocabulary
+    (cached to /tmp — generation costs ~25s and is fully deterministic)."""
+    import os
+
+    import scipy.sparse as _sp
+
+    cache = f"/tmp/enstop_bench_corpus_{seed}.npz"
+    if os.path.exists(cache):
+        try:
+            return _sp.load_npz(cache)
+        except Exception:
+            pass
     from enstop_tpu.synthetic import twenty_newsgroups_shape
 
     X, _ = twenty_newsgroups_shape(seed=seed)
+    try:
+        _sp.save_npz(cache, X)
+    except Exception:
+        pass
     return X
 
 

@@ -88,11 +88,11 @@ def _mu_step_frobenius(X, W, H):
 
 
 @lru_cache(maxsize=16)
-def _build_mu_loop(beta_loss, n_iter, update_H):
+def _build_mu_loop(beta_loss, update_H):
     step = _mu_step_kl if beta_loss in (1, "kullback-leibler") else _mu_step_frobenius
 
     @jax.jit
-    def run(X, W, H):
+    def run(X, W, H, n_iter):
         def body(_, carry):
             W, H = carry
             W2, H2 = step(X, W, H)
@@ -100,6 +100,7 @@ def _build_mu_loop(beta_loss, n_iter, update_H):
                 H2 = H
             return (W2, H2)
 
+        # n_iter is traced: one compiled program per (beta_loss, update_H)
         return jax.lax.fori_loop(0, n_iter, body, (W, H))
 
     return run
@@ -143,6 +144,6 @@ def nmf_fit_mu(
     Hp = np.zeros((kp, Xd.shape[1]), np.float32)
     Hp[:k, :m] = H0[:, :m] if H0.shape[1] == m else H0
 
-    run = _build_mu_loop(beta_loss if beta_loss in (1, 2) else 1, int(n_iter), bool(update_H))
-    W, H = run(Xd, Wp, Hp)
+    run = _build_mu_loop(beta_loss if beta_loss in (1, 2) else 1, bool(update_H))
+    W, H = run(Xd, Wp, Hp, jnp.int32(n_iter))
     return np.asarray(W)[:n, :k], np.asarray(H)[:k, :m]
