@@ -51,8 +51,11 @@ def synthetic_corpus(
         tok_word[mask] = np.searchsorted(topics_cdf[z], u[mask])
     tok_word = np.clip(tok_word, 0, n_words - 1)
 
+    # integer dtype: these are raw term counts, which the estimators pass
+    # through unchanged (float inputs are treated as pre-normalized data and
+    # get l1-row-normalized by standardize_input, reference utils.py:276-280)
     X = sp.csr_matrix(
-        (np.ones(T, np.float32), (doc_ids, tok_word)), shape=(n_docs, n_words)
+        (np.ones(T, np.int64), (doc_ids, tok_word)), shape=(n_docs, n_words)
     )
     X.sum_duplicates()
     return X, labels
