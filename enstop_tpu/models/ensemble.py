@@ -121,13 +121,17 @@ def nmf_topics(X, k, **kwargs):
 
 def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                               backend="auto", precision="default"):
+                               backend="auto", precision="default", x_dtype="float32"):
     """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
     of X, expressing each bootstrap as multinomial document weights."""
+    from ..ops.driver import _is_bf16
+
     backend = resolve_backend(backend)
     rm, cm = _layout_multiples(backend, *X.shape)
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
     Xdev = jnp.asarray(Xd)
+    if _is_bf16(x_dtype):
+        Xdev = jax.jit(lambda a: a.astype(jnp.bfloat16))(Xdev)
 
     run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
 
@@ -235,6 +239,7 @@ def ensemble_of_topics(
             n_iter_per_test=kwargs.get("n_iter_per_test", 10),
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
+            x_dtype=kwargs.get("x_dtype", "float32"),
         )
 
     if model == "plsa":
@@ -374,6 +379,7 @@ def ensemble_fit(
     solver="mu",
     random_state=None,
     backend="auto",
+    x_dtype="float32",
 ):
     """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``."""
     X = check_array(X, accept_sparse="csr", dtype=np.float32)
@@ -398,6 +404,7 @@ def ensemble_fit(
         solver=solver,
         random_state=random_state,
         backend=backend,
+        x_dtype=x_dtype,
     )
 
     if topic_combination in _topic_combiner:
@@ -476,6 +483,7 @@ class EnsembleTopics(TopicModelBase):
         transform_random_seed=42,
         random_state=None,
         backend="auto",
+        x_dtype="float32",
     ):
         self.n_components = n_components
         self.model = model
@@ -498,6 +506,7 @@ class EnsembleTopics(TopicModelBase):
         self.transform_random_seed = transform_random_seed
         self.random_state = random_state
         self.backend = backend
+        self.x_dtype = x_dtype
 
     def fit_transform(self, X, y=None, **fit_params):
         X = check_array(X, accept_sparse="csr")
@@ -526,6 +535,7 @@ class EnsembleTopics(TopicModelBase):
             solver=self.solver,
             random_state=self.random_state,
             backend=self.backend,
+            x_dtype=self.x_dtype,
         )
         self.components_ = V
         self.embedding_ = U
