@@ -98,3 +98,26 @@ def test_block_parallel_matches_flat_plsa(small_corpus):
     np.testing.assert_allclose(
         blocked.components_, flat.components_, rtol=5e-3, atol=1e-5
     )
+
+
+def test_sharded_step_with_pallas_inner_interpret(small_corpus):
+    """shard_map composing with the Pallas kernel (interpret mode on CPU)."""
+    mesh = mesh_lib.make_mesh(2, 1, devices=jax.devices()[:2])
+    X = small_corpus
+    k = 4
+    from enstop_tpu.ops.init import plsa_init as pinit
+
+    pzd, pwz = pinit(X, k, rng=np.random.RandomState(0))
+    rm, cm = mesh_lib.mesh_layout_multiples(mesh, "pallas")
+    Xd, n, m = pad_dense_counts(sp.csr_matrix(X), row_multiple=rm, col_multiple=cm)
+    zd, wz = pad_factors(pzd, pwz, Xd.shape[0], Xd.shape[1])
+    w = np.ones(Xd.shape[0], np.float32)
+
+    step = mesh_lib.build_sharded_em_step(mesh, inner="pallas")
+    Xs, zds, wzs, ws = mesh_lib.shard_inputs(mesh, Xd, zd, wz, w)
+    got_zd, got_wz, got_ll = jax.jit(step)(Xs, zds, wzs, ws)
+
+    want_zd, want_wz, want_ll = em_ops.em_step_dense(Xd, zd, wz, sample_weight=w)
+    np.testing.assert_allclose(np.asarray(got_zd), np.asarray(want_zd), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_wz), np.asarray(want_wz), rtol=1e-4, atol=1e-6)
+    assert float(got_ll) == pytest.approx(float(want_ll), rel=1e-5)
