@@ -68,7 +68,8 @@ def _fit_on_mesh(
         mesh, inner, weighted, int(n_iter), int(n_iter_per_test)
     )
     zd_f, wz_f, steps, final_ll = run(Xs, zds, wzs, ws, jnp.float32(tolerance))
-    return np.asarray(zd_f)[:n, :k], np.asarray(wz_f)[:k, :m]
+    info = {"n_steps": int(steps), "log_likelihood": float(final_ll)}
+    return np.asarray(zd_f)[:n, :k], np.asarray(wz_f)[:k, :m], info
 
 
 def _refit_on_mesh(X, topics, mesh, inner, n_iter=50, n_iter_per_test=5,
@@ -148,7 +149,7 @@ class BlockParallelPLSA(TopicModelBase):
         X, sample_weight = validate_corpus(X, sample_weight)
         data, good_rows, zero_rows_found = split_zero_rows(X)
         mesh = self._make_mesh()
-        U, V = _fit_on_mesh(
+        U, V, info = _fit_on_mesh(
             data,
             self.n_components,
             mesh,
@@ -166,6 +167,8 @@ class BlockParallelPLSA(TopicModelBase):
             self.embedding_ = U
         self.components_ = V
         self.training_data_ = X
+        self.n_iter_ = info["n_steps"]
+        self.fit_info_ = info
         return self.embedding_
 
     def transform(self, X, y=None):

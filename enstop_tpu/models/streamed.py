@@ -283,7 +283,7 @@ class StreamedPLSA(TopicModelBase):
         X, sample_weight = validate_corpus(X, sample_weight)
         data, good_rows, zero_rows_found = split_zero_rows(X)
 
-        U, V, _ = streamed_plsa_fit(
+        U, V, n_steps = streamed_plsa_fit(
             data,
             self.n_components,
             sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
@@ -301,6 +301,7 @@ class StreamedPLSA(TopicModelBase):
             self.embedding_ = U
         self.components_ = V
         self.training_data_ = X
+        self.n_iter_ = n_steps
         return self.embedding_
 
     def transform(self, X, y=None):
