@@ -121,12 +121,13 @@ def nmf_topics(X, k, **kwargs):
 
 def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                               backend="auto", precision="default", x_dtype="float32"):
+                               backend="auto", precision="default", x_dtype="auto"):
     """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
     of X, expressing each bootstrap as multinomial document weights."""
-    from ..ops.driver import _is_bf16
+    from ..ops.driver import _is_bf16, _resolve_x_dtype
 
     backend = resolve_backend(backend)
+    x_dtype = _resolve_x_dtype(X, x_dtype)
     rm, cm = _layout_multiples(backend, *X.shape)
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
     Xdev = jnp.asarray(Xd)
@@ -239,7 +240,7 @@ def ensemble_of_topics(
             n_iter_per_test=kwargs.get("n_iter_per_test", 10),
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
-            x_dtype=kwargs.get("x_dtype", "float32"),
+            x_dtype=kwargs.get("x_dtype", "auto"),
         )
 
     if model == "plsa":
@@ -379,7 +380,7 @@ def ensemble_fit(
     solver="mu",
     random_state=None,
     backend="auto",
-    x_dtype="float32",
+    x_dtype="auto",
 ):
     """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``."""
     X = check_array(X, accept_sparse="csr", dtype=np.float32)
@@ -483,7 +484,7 @@ class EnsembleTopics(TopicModelBase):
         transform_random_seed=42,
         random_state=None,
         backend="auto",
-        x_dtype="float32",
+        x_dtype="auto",
     ):
         self.n_components = n_components
         self.model = model

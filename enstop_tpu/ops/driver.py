@@ -166,17 +166,38 @@ def _is_bf16(x_dtype):
     )
 
 
-def prepare_counts(X, backend="auto", x_dtype=np.float32):
+def _resolve_x_dtype(X, x_dtype):
+    """``"auto"`` -> bf16 exactly when it is lossless (integer-valued counts
+    with max <= 256 — every such value is representable in bf16), halving the
+    per-iteration HBM stream; otherwise f32."""
+    if x_dtype != "auto":
+        return x_dtype
+    from scipy.sparse import issparse
+
+    vals = X.data if issparse(X) else np.asarray(X).ravel()
+    if vals.size == 0:
+        return np.float32
+    if np.issubdtype(vals.dtype, np.integer):
+        return "bfloat16" if vals.max() <= 256 else np.float32
+    if np.issubdtype(vals.dtype, np.floating):
+        # float inputs get l1-normalized (standardize_input) -> not bf16-exact
+        return np.float32
+    return np.float32
+
+
+def prepare_counts(X, backend="auto", x_dtype="auto"):
     """Densify, pad, and ship a count matrix to the device once.
 
-    ``x_dtype="bfloat16"`` stores the device copy in bf16, halving the per-
-    iteration HBM stream (counts up to 256 are exact in bf16; larger counts and
-    l1-normalized float inputs round to 8 bits of mantissa — fine for topic
-    quality, not for strict LL parity).
+    ``x_dtype``: ``"auto"`` (default) stores the device copy in bf16 exactly
+    when that is lossless (integer counts <= 256), halving the per-iteration
+    HBM stream with bit-identical results; ``"bfloat16"`` forces bf16 (larger
+    counts / normalized floats round to 8 mantissa bits — fine for topic
+    quality, not for strict LL parity); any float dtype forces f32.
     """
     from ..utils import standardize_input
 
     backend = resolve_backend(backend)
+    x_dtype = _resolve_x_dtype(X, x_dtype)
     X = standardize_input(X)  # float inputs are l1-row-normalized, like the
     # estimator entry points (reference plsa.py:1139, utils.py:276-280)
     rm, cm = _layout_multiples(backend, *X.shape)
@@ -198,7 +219,7 @@ def plsa_fit(
     e_step_thresh=1e-32,
     random_state=None,
     backend="auto",
-    x_dtype=np.float32,
+    x_dtype="auto",
     precision="default",
     return_info=False,
 ):
@@ -227,6 +248,7 @@ def plsa_fit(
         p_z_given_d, p_w_given_z = plsa_init(X, k, init=init, rng=rng)
     else:
         backend = resolve_backend(backend)
+        x_dtype = _resolve_x_dtype(X, x_dtype)
         p_z_given_d, p_w_given_z = plsa_init(X, k, init=init, rng=rng)
         rm, cm = _layout_multiples(backend, *X.shape)
         Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
@@ -274,7 +296,7 @@ def plsa_refit(
     e_step_thresh=1e-32,
     random_state=None,
     backend="auto",
-    x_dtype=np.float32,
+    x_dtype="auto",
     precision="default",
 ):
     """Fit only ``P(z|d)`` against frozen ``topics`` (reference plsa.py:923-997).
@@ -285,15 +307,22 @@ def plsa_refit(
     can only stop earlier at equivalent quality.
     """
     rng = check_random_state(random_state)
-    backend = resolve_backend(backend)
     k = topics.shape[0]
 
     p_z_given_d = rng.rand(X.shape[0], k)
     p_z_given_d /= p_z_given_d.sum(axis=1, keepdims=True)
     p_z_given_d = p_z_given_d.astype(np.float32)
 
-    rm, cm = _layout_multiples(backend, *X.shape)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=x_dtype)
+    if isinstance(X, PreparedCounts):
+        backend = X.backend
+        Xd, n, m = X.device_array, X.n, X.m
+    else:
+        backend = resolve_backend(backend)
+        x_dtype = _resolve_x_dtype(X, x_dtype)
+        rm, cm = _layout_multiples(backend, *X.shape)
+        Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
+        if _is_bf16(x_dtype):
+            Xd = jax.jit(lambda a: a.astype(jnp.bfloat16))(jax.device_put(Xd))
     zd, wz = pad_factors(p_z_given_d, np.asarray(topics, dtype=np.float32), Xd.shape[0], Xd.shape[1])
 
     weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))
