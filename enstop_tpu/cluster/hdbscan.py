@@ -144,7 +144,6 @@ def condense_tree(linkage, min_cluster_size):
                 for p in node_members(child):
                     rows.append((cur, p, lam, 1))
                 ignore.add(child)
-                ignore.update(range(0))  # no-op; members handled above
         elif lsize < min_cluster_size:
             relabel[right] = cur
             bfs.append(right)
