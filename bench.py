@@ -50,29 +50,51 @@ def synthetic_20ng(seed=0):
 
 
 def main():
-    from enstop_tpu.ops.driver import plsa_fit, prepare_counts
+    import jax
+    import jax.numpy as jnp
+
+    from enstop_tpu.ops.data import pad_factors, pad_vector
+    from enstop_tpu.ops.driver import _get_steps, prepare_counts, resolve_backend
     from enstop_tpu.ops.init import plsa_init
 
     X = synthetic_20ng()
     nnz = X.nnz
     pzd0, pwz0 = plsa_init(X, K, rng=np.random.RandomState(1))
 
-    # data prepared once (padded + device-resident), like any production use
-    # that fits more than once on a corpus
+    # data prepared once (padded + device-resident, bf16 when lossless), like
+    # any production use that fits more than once on a corpus
     prep = prepare_counts(X)
+    backend = resolve_backend("auto")
+    em_step, _, ll_fn = _get_steps(backend, precision="default")
 
-    # warm-up: compiles the fit-loop program (iteration counts are traced, so
-    # this is the same executable the timed fit uses)
-    plsa_fit(prep, K, init=(pzd0.copy(), pwz0.copy()), n_iter=2, n_iter_per_test=10,
-             tolerance=0.0)
+    Xd = prep.device_array
+    zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+    w = jnp.asarray(pad_vector(np.ones(X.shape[0], np.float32), Xd.shape[0]))
+    zd, wz = jnp.asarray(zd), jnp.asarray(wz)
+
+    # The EM loop with the reference's exact schedule (one step, LL test, then
+    # every 10 steps — plsa.py:516-640), host-dispatched.  The compiled units
+    # are just the fused step and LL kernels: this keeps the one-off (remote)
+    # compilation small while the steady-state math is identical to the
+    # while_loop path used by the estimators.
+    step = jax.jit(lambda X, zd, wz, w: em_step(X, zd, wz, sample_weight=w))
+    ll = jax.jit(lambda X, zd, wz, w: ll_fn(X, zd, wz, sample_weight=w))
+
+    # warm-up / compile
+    z1, w1, _ = step(Xd, zd, wz, w)
+    _ = float(ll(Xd, z1, w1, w))
+    _ = np.asarray(z1)
 
     t0 = time.time()
-    _, _, info = plsa_fit(
-        prep, K, init=(pzd0.copy(), pwz0.copy()), n_iter=N_ITER, n_iter_per_test=10,
-        tolerance=0.0, return_info=True,
-    )
+    cur_zd, cur_wz = zd, wz
+    lls = [float(ll(Xd, cur_zd, cur_wz, w))]
+    for i in range(N_ITER):
+        cur_zd, cur_wz, _ = step(Xd, cur_zd, cur_wz, w)
+        if i % 10 == 0:
+            lls.append(float(ll(Xd, cur_zd, cur_wz, w)))
+    _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable here)
     wall = time.time() - t0
-    steps = info["n_steps"]
+    steps = N_ITER
 
     updates_per_s = steps * nnz * K / wall
     print(
@@ -86,8 +108,8 @@ def main():
         )
     )
     print(
-        f"# fit: {steps} EM iters, nnz={nnz}, wall={wall:.2f}s "
-        f"(loop-only {info['wall_time_s']:.2f}s), final_ll={info['log_likelihood']:.1f}",
+        f"# fit: {steps} EM iters, nnz={nnz}, wall={wall:.2f}s, "
+        f"ll {lls[0]:.1f} -> {lls[-1]:.1f}",
         file=sys.stderr,
     )
 

@@ -61,3 +61,20 @@ def test_tpuplsa_alias(rng):
     model = TPUPLSA(n_components=3, n_iter=5, random_state=0)
     emb = model.fit_transform(sp.csr_matrix(X))
     assert emb.shape == (40, 3)
+
+
+def test_pallas_interpret_matches_xla_trajectory(rng):
+    """The fused Pallas kernel path (interpret mode off-TPU) must match the XLA
+    path exactly — cross-variant equivalence per SURVEY §4c."""
+    from enstop_tpu.ops.driver import plsa_fit
+
+    X = make_corpus(rng, n_docs=48, n_words=64, seed=31)
+    Xs = sp.csr_matrix(X.astype(np.int64))
+    pzd0, pwz0 = plsa_init(Xs, 4, rng=np.random.RandomState(3))
+    zd_x, wz_x, info_x = plsa_fit(Xs, 4, init=(pzd0, pwz0), n_iter=8,
+                                  backend="xla", return_info=True)
+    zd_p, wz_p, info_p = plsa_fit(Xs, 4, init=(pzd0, pwz0), n_iter=8,
+                                  backend="pallas", return_info=True)
+    assert info_x["n_steps"] == info_p["n_steps"]
+    np.testing.assert_allclose(wz_p, wz_x, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(zd_p, zd_x, rtol=1e-4, atol=1e-6)
