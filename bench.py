@@ -77,20 +77,31 @@ def main():
     # are just the fused step and LL kernels: this keeps the one-off (remote)
     # compilation small while the steady-state math is identical to the
     # while_loop path used by the estimators.
-    step = jax.jit(lambda X, zd, wz, w: em_step(X, zd, wz, sample_weight=w))
+    @jax.jit
+    def chunk(X, zd, wz, w, n):
+        def body(_, s):
+            new_zd, new_wz, _ll = em_step(X, s[0], s[1], sample_weight=w)
+            return (new_zd, new_wz)
+
+        return jax.lax.fori_loop(0, n, body, (zd, wz))
+
     ll = jax.jit(lambda X, zd, wz, w: ll_fn(X, zd, wz, sample_weight=w))
 
     # warm-up / compile
-    z1, w1, _ = step(Xd, zd, wz, w)
+    z1, w1 = chunk(Xd, zd, wz, w, jnp.int32(1))
     _ = float(ll(Xd, z1, w1, w))
     _ = np.asarray(z1)
 
     t0 = time.time()
     cur_zd, cur_wz = zd, wz
     lls = [float(ll(Xd, cur_zd, cur_wz, w))]
-    for i in range(N_ITER):
-        cur_zd, cur_wz, _ = step(Xd, cur_zd, cur_wz, w)
-        if i % 10 == 0:
+    done = 0
+    while done < N_ITER:
+        # reference schedule: test after step 1, then after every 10 steps
+        n = 1 if done == 0 else min(10, N_ITER - done)
+        cur_zd, cur_wz = chunk(Xd, cur_zd, cur_wz, w, jnp.int32(n))
+        done += n
+        if (done - 1) % 10 == 0:
             lls.append(float(ll(Xd, cur_zd, cur_wz, w)))
     _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable here)
     wall = time.time() - t0
