@@ -94,7 +94,9 @@ def main():
 
     t0 = time.time()
     cur_zd, cur_wz = zd, wz
-    lls = [float(ll(Xd, cur_zd, cur_wz, w))]
+    # LL values stay on device during the loop (a host read costs ~20ms of
+    # tunnel latency here); fetched once at the end.
+    lls = [ll(Xd, cur_zd, cur_wz, w)]
     done = 0
     while done < N_ITER:
         # reference schedule: test after step 1, then after every 10 steps
@@ -102,8 +104,9 @@ def main():
         cur_zd, cur_wz = chunk(Xd, cur_zd, cur_wz, w, jnp.int32(n))
         done += n
         if (done - 1) % 10 == 0:
-            lls.append(float(ll(Xd, cur_zd, cur_wz, w)))
+            lls.append(ll(Xd, cur_zd, cur_wz, w))
     _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable here)
+    lls = [float(v) for v in lls]
     wall = time.time() - t0
     steps = N_ITER
 
