@@ -24,6 +24,7 @@ if not _os.environ.get("ENSTOP_TPU_NO_COMPILE_CACHE"):
         pass
 
 from .models.plsa import PLSA
+from .ops.driver import PreparedCounts, plsa_fit, plsa_refit, prepare_counts
 from .ops.metrics import coherence, log_lift, mean_coherence, mean_log_lift
 from .utils import normalize, standardize_input
 
@@ -31,6 +32,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "PLSA",
+    "prepare_counts",
+    "PreparedCounts",
+    "plsa_fit",
+    "plsa_refit",
     "coherence",
     "mean_coherence",
     "log_lift",

@@ -82,7 +82,9 @@ def plsa_topics(X, k, **kwargs):
 def nmf_topics(X, k, **kwargs):
     """One bootstrap-resampled NMF run, topics l1-normalized
     (reference enstop_.py:118-161; solver="mu" uses the TPU-native MU solver,
-    solver="cd" falls back to sklearn's coordinate descent)."""
+    solver="cd" falls back to sklearn's coordinate descent).  The ``alpha``
+    regularization knob is accepted for parity but not applied by the MU
+    solver (the reference default alpha=0.0 is a no-op there too)."""
     A = X.tocsr()
     if kwargs.get("bootstrap", True):
         rng = check_random_state(kwargs.get("random_state", None))
