@@ -83,28 +83,27 @@ def main():
             new_zd, new_wz, _ll = em_step(X, s[0], s[1], sample_weight=w)
             return (new_zd, new_wz)
 
-        return jax.lax.fori_loop(0, n, body, (zd, wz))
-
-    ll = jax.jit(lambda X, zd, wz, w: ll_fn(X, zd, wz, sample_weight=w))
+        zd, wz = jax.lax.fori_loop(0, n, body, (zd, wz))
+        # LL of the post-chunk state: the reference's convergence-test value
+        # (n == 0 gives the initial LL), computed in the same dispatch — each
+        # host round-trip costs ~10ms of tunnel latency here.
+        return zd, wz, ll_fn(X, zd, wz, sample_weight=w)
 
     # warm-up / compile
-    z1, w1 = chunk(Xd, zd, wz, w, jnp.int32(1))
-    _ = float(ll(Xd, z1, w1, w))
+    z1, w1, l1 = chunk(Xd, zd, wz, w, jnp.int32(1))
     _ = np.asarray(z1)
 
     t0 = time.time()
-    cur_zd, cur_wz = zd, wz
-    # LL values stay on device during the loop (a host read costs ~20ms of
-    # tunnel latency here); fetched once at the end.
-    lls = [ll(Xd, cur_zd, cur_wz, w)]
+    cur_zd, cur_wz, ll0 = chunk(Xd, zd, wz, w, jnp.int32(0))
+    lls = [ll0]
     done = 0
     while done < N_ITER:
         # reference schedule: test after step 1, then after every 10 steps
         n = 1 if done == 0 else min(10, N_ITER - done)
-        cur_zd, cur_wz = chunk(Xd, cur_zd, cur_wz, w, jnp.int32(n))
+        cur_zd, cur_wz, ll_n = chunk(Xd, cur_zd, cur_wz, w, jnp.int32(n))
         done += n
         if (done - 1) % 10 == 0:
-            lls.append(ll(Xd, cur_zd, cur_wz, w))
+            lls.append(ll_n)
     _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable here)
     lls = [float(v) for v in lls]
     wall = time.time() - t0
