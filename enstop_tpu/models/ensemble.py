@@ -215,6 +215,13 @@ def ensemble_of_topics(
       * ``"joblib"`` / ``"dask"`` — accepted for API parity, mapped to
         ``"resample"`` (thread fan-out does not help a device-bound workload).
     """
+    known = {"weights", "sharded", "resample", "none", "joblib", "dask"}
+    if parallelism not in known:
+        raise ValueError(
+            "Unrecognized parallelism {!r}; should be one of {}".format(
+                parallelism, tuple(sorted(known))
+            )
+        )
     if model == "plsa" and parallelism == "sharded":
         rng = check_random_state(kwargs.get("random_state", None))
         return _sharded_plsa_runs(

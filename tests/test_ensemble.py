@@ -144,3 +144,9 @@ def test_sharded_matches_weights_given_same_draws(corpus):
         bootstrap=False,
     )
     np.testing.assert_allclose(s1, s2, rtol=5e-3, atol=1e-5)
+
+
+def test_unknown_parallelism_rejected(corpus):
+    import scipy.sparse as sp
+    with pytest.raises(ValueError, match="parallelism"):
+        ensemble_of_topics(sp.csr_matrix(corpus), 3, parallelism="bogus")
