@@ -150,3 +150,36 @@ def test_unknown_parallelism_rejected(corpus):
     import scipy.sparse as sp
     with pytest.raises(ValueError, match="parallelism"):
         ensemble_of_topics(sp.csr_matrix(corpus), 3, parallelism="bogus")
+
+
+def test_batched_kernel_matches_per_run(corpus):
+    """The batched multi-run kernel must reproduce per-run sequential EM
+    exactly (same inits, same bootstrap weights)."""
+    import scipy.sparse as sp
+    from enstop_tpu.ops import em as em_ops
+    from enstop_tpu.ops.pallas_batch import batched_em_fit, pick_batch_block_shape
+    from enstop_tpu.ops.data import pad_dense_counts, pad_factors, pad_vector
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(corpus.astype(np.int64))
+    R, k = 3, 4
+    bd, bw = pick_batch_block_shape(*X.shape)
+    Xd, n, m = pad_dense_counts(X, row_multiple=bd, col_multiple=bw)
+    rng = np.random.RandomState(0)
+    zds, wzs, ws = [], [], []
+    for _ in range(R):
+        pzd, pwz = plsa_init(X, k, rng=rng)
+        zd, wz = pad_factors(pzd, pwz, Xd.shape[0], Xd.shape[1])
+        zds.append(zd)
+        wzs.append(wz)
+        ws.append(pad_vector(rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32),
+                             Xd.shape[0]))
+    zds, wzs, ws = np.stack(zds), np.stack(wzs), np.stack(ws)
+
+    zf, wf = batched_em_fit(Xd, zds, wzs, ws, 5)
+    for r in range(R):
+        zd_r, wz_r = zds[r], wzs[r]
+        for _ in range(5):
+            zd_r, wz_r, _ = em_ops.em_step_dense(Xd, zd_r, wz_r, sample_weight=ws[r])
+        np.testing.assert_allclose(np.asarray(zf)[r], np.asarray(zd_r), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(wf)[r], np.asarray(wz_r), rtol=1e-4, atol=1e-6)
