@@ -123,32 +123,32 @@ def nmf_topics(X, k, **kwargs):
 
 def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                               backend="auto", precision="default", x_dtype="auto"):
+                               backend="auto", precision="default", x_dtype="auto",
+                               prepared=None):
     """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
     of X, expressing each bootstrap as multinomial document weights."""
-    from ..ops.driver import _is_bf16, _resolve_x_dtype
+    from ..ops.driver import prepare_counts
 
-    backend = resolve_backend(backend)
-    x_dtype = _resolve_x_dtype(X, x_dtype)
-    rm, cm = _layout_multiples(backend, *X.shape)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
-    Xdev = jnp.asarray(Xd)
-    if _is_bf16(x_dtype):
-        Xdev = jax.jit(lambda a: a.astype(jnp.bfloat16))(Xdev)
+    if prepared is None:
+        prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
+                                  standardize=False)
+    backend = prepared.backend
+    Xdev, n, m = prepared.device_array, prepared.n, prepared.m
 
     run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
 
+    n_pad, m_pad = Xdev.shape
     topics_out = []
     for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
-        zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+        pzd0, pwz0 = plsa_init(prepared, k, init=init, rng=rng)
+        zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
         if bootstrap:
             counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
         else:
             counts = np.ones(n, np.float32)
-        w = pad_vector(counts, Xd.shape[0])
+        w = pad_vector(counts, n_pad)
         _, wz_f, _, _ = run(Xdev, zd, wz, w, jnp.float32(tolerance))
-        topics_out.append(np.asarray(wz_f)[:k, : X.shape[1]])
+        topics_out.append(np.asarray(wz_f)[:k, :m])
     return np.vstack(topics_out)
 
 
@@ -250,6 +250,7 @@ def ensemble_of_topics(
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
             x_dtype=kwargs.get("x_dtype", "auto"),
+            prepared=kwargs.get("prepared"),
         )
 
     if model == "plsa":
@@ -396,6 +397,15 @@ def ensemble_fit(
     if not issparse(X):
         X = csr_matrix(X)
 
+    # one padded device-resident copy shared by every bootstrap fit and the
+    # final refit (pad + transfer cost ~seconds at scale; pay it once)
+    prepared = None
+    if model == "plsa" and parallelism == "weights":
+        from ..ops.driver import prepare_counts
+
+        prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
+                                  standardize=False)
+
     all_topics = ensemble_of_topics(
         X,
         estimated_n_topics,
@@ -415,6 +425,7 @@ def ensemble_fit(
         random_state=random_state,
         backend=backend,
         x_dtype=x_dtype,
+        prepared=prepared,
     )
 
     if topic_combination in _topic_combiner:
@@ -438,7 +449,7 @@ def ensemble_fit(
     if model == "plsa":
         sample_weight = _check_sample_weight(None, X, dtype=np.float32)
         doc_vectors = plsa_refit(
-            X,
+            prepared if prepared is not None else X,
             stable_topics,
             sample_weight=sample_weight,
             e_step_thresh=e_step_thresh,

@@ -166,7 +166,7 @@ def _is_bf16(x_dtype):
     )
 
 
-def _resolve_x_dtype(X, x_dtype):
+def _resolve_x_dtype(X, x_dtype, will_standardize=True):
     """``"auto"`` -> bf16 exactly when it is lossless (integer-valued counts
     with max <= 256 — every such value is representable in bf16), halving the
     per-iteration HBM stream; otherwise f32."""
@@ -179,13 +179,16 @@ def _resolve_x_dtype(X, x_dtype):
         return np.float32
     if np.issubdtype(vals.dtype, np.integer):
         return "bfloat16" if vals.max() <= 256 else np.float32
-    if np.issubdtype(vals.dtype, np.floating):
-        # float inputs get l1-normalized (standardize_input) -> not bf16-exact
-        return np.float32
+    if np.issubdtype(vals.dtype, np.floating) and not will_standardize:
+        # float-typed but integral-valued counts (e.g. after a float32 cast,
+        # as the reference ensemble does, enstop_.py:527) are bf16-exact
+        # when <= 256 — valid only when no l1-normalization follows.
+        if vals.size <= 50_000_000 and np.all(vals == np.round(vals)):
+            return "bfloat16" if vals.max() <= 256 else np.float32
     return np.float32
 
 
-def prepare_counts(X, backend="auto", x_dtype="auto"):
+def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
     """Densify, pad, and ship a count matrix to the device once.
 
     ``x_dtype``: ``"auto"`` (default) stores the device copy in bf16 exactly
@@ -197,9 +200,13 @@ def prepare_counts(X, backend="auto", x_dtype="auto"):
     from ..utils import standardize_input
 
     backend = resolve_backend(backend)
-    x_dtype = _resolve_x_dtype(X, x_dtype)
-    X = standardize_input(X)  # float inputs are l1-row-normalized, like the
-    # estimator entry points (reference plsa.py:1139, utils.py:276-280)
+    x_dtype = _resolve_x_dtype(X, x_dtype, will_standardize=standardize)
+    if standardize:
+        # float inputs are l1-row-normalized, like the estimator entry points
+        # (reference plsa.py:1139, utils.py:276-280); the ensemble pipeline
+        # instead fits raw float32 counts (enstop_.py:527) and passes
+        # standardize=False.
+        X = standardize_input(X)
     rm, cm = _layout_multiples(backend, *X.shape)
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
     dev = jax.device_put(Xd)
