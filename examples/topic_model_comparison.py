@@ -62,6 +62,11 @@ def main():
     plsa = PLSA(n_components=20, n_iter=100, random_state=0)
     emb = plsa.fit_transform(X)
     score("PLSA (TPU)", labels, emb, time.time() - t0)
+    print(
+        f"  (device-side EM: {plsa.fit_info_['wall_time_s']:.2f}s for "
+        f"{plsa.n_iter_} iters — first-model wall includes one-off XLA/Mosaic "
+        "compilation, cached for subsequent fits)"
+    )
 
     t0 = time.time()
     ens = EnsembleTopics(n_components=20, n_starts=16, random_state=0)
