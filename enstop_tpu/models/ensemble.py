@@ -138,9 +138,12 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     run = _build_fit_fn(backend, int(n_iter), int(n_iter_per_test), True, False, precision)
 
     n_pad, m_pad = Xdev.shape
+    # init from the raw matrix (data-dependent inits like "nndsvd" need it);
+    # only shapes are used for init="random"
+    init_source = prepared if X is None else X
     topics_out = []
     for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(prepared, k, init=init, rng=rng)
+        pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
         zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
         if bootstrap:
             counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)

@@ -183,3 +183,13 @@ def test_batched_kernel_matches_per_run(corpus):
             zd_r, wz_r, _ = em_ops.em_step_dense(Xd, zd_r, wz_r, sample_weight=ws[r])
         np.testing.assert_allclose(np.asarray(zf)[r], np.asarray(zd_r), rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(wf)[r], np.asarray(wz_r), rtol=1e-4, atol=1e-6)
+
+
+def test_ensemble_nndsvd_init(corpus):
+    """Data-dependent init must work through the device-resident weights path."""
+    import scipy.sparse as sp
+
+    model = EnsembleTopics(n_components=3, n_starts=4, init="nndsvd", n_iter=10,
+                           min_samples=2, min_cluster_size=3, random_state=0)
+    emb = model.fit_transform(sp.csr_matrix(corpus))
+    assert np.isfinite(emb).all()
