@@ -396,18 +396,25 @@ def ensemble_fit(
     x_dtype="auto",
 ):
     """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``."""
-    X = check_array(X, accept_sparse="csr", dtype=np.float32)
-    if not issparse(X):
-        X = csr_matrix(X)
+    from ..ops.driver import PreparedCounts, prepare_counts
 
-    # one padded device-resident copy shared by every bootstrap fit and the
-    # final refit (pad + transfer cost ~seconds at scale; pay it once)
-    prepared = None
-    if model == "plsa" and parallelism == "weights":
-        from ..ops.driver import prepare_counts
-
-        prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
-                                  standardize=False)
+    if isinstance(X, PreparedCounts):
+        prepared, X = X, None
+        if model != "plsa" or parallelism != "weights":
+            raise ValueError(
+                "PreparedCounts input requires model='plsa' and "
+                "parallelism='weights'"
+            )
+    else:
+        X = check_array(X, accept_sparse="csr", dtype=np.float32)
+        if not issparse(X):
+            X = csr_matrix(X)
+        # one padded device-resident copy shared by every bootstrap fit and the
+        # final refit (pad + transfer cost ~seconds at scale; pay it once)
+        prepared = None
+        if model == "plsa" and parallelism == "weights":
+            prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
+                                      standardize=False)
 
     all_topics = ensemble_of_topics(
         X,
@@ -450,9 +457,10 @@ def ensemble_fit(
         stable_topics /= stable_topics.sum(axis=1, keepdims=True)
 
     if model == "plsa":
-        sample_weight = _check_sample_weight(None, X, dtype=np.float32)
+        refit_input = prepared if prepared is not None else X
+        sample_weight = _check_sample_weight(None, refit_input, dtype=np.float32)
         doc_vectors = plsa_refit(
-            prepared if prepared is not None else X,
+            refit_input,
             stable_topics,
             sample_weight=sample_weight,
             e_step_thresh=e_step_thresh,
@@ -533,9 +541,12 @@ class EnsembleTopics(TopicModelBase):
         self.x_dtype = x_dtype
 
     def fit_transform(self, X, y=None, **fit_params):
-        X = check_array(X, accept_sparse="csr")
-        if not issparse(X):
-            X = csr_matrix(X)
+        from ..ops.driver import PreparedCounts
+
+        if not isinstance(X, PreparedCounts):
+            X = check_array(X, accept_sparse="csr")
+            if not issparse(X):
+                X = csr_matrix(X)
 
         U, V = ensemble_fit(
             X,
@@ -561,9 +572,11 @@ class EnsembleTopics(TopicModelBase):
             backend=self.backend,
             x_dtype=self.x_dtype,
         )
+        from ..ops.driver import PreparedCounts
+
         self.components_ = V
         self.embedding_ = U
-        self.training_data_ = X
+        self.training_data_ = None if isinstance(X, PreparedCounts) else X
         self.n_components_ = self.components_.shape[0]
         return U
 

@@ -193,3 +193,15 @@ def test_ensemble_nndsvd_init(corpus):
                            min_samples=2, min_cluster_size=3, random_state=0)
     emb = model.fit_transform(sp.csr_matrix(corpus))
     assert np.isfinite(emb).all()
+
+
+def test_ensemble_accepts_prepared_counts(corpus):
+    import scipy.sparse as sp
+    from enstop_tpu.ops.driver import prepare_counts
+
+    prep = prepare_counts(sp.csr_matrix(corpus.astype(np.int64)), standardize=False)
+    model = EnsembleTopics(n_components=3, n_starts=4, n_iter=10, min_samples=2,
+                           min_cluster_size=3, random_state=0)
+    emb = model.fit_transform(prep)
+    assert emb.shape[0] == corpus.shape[0]
+    assert model.training_data_ is None
