@@ -57,7 +57,17 @@ def main():
     from enstop_tpu.ops.driver import _get_steps, prepare_counts, resolve_backend
     from enstop_tpu.ops.init import plsa_init
 
-    X = synthetic_20ng()
+    if jax.default_backend() == "tpu":
+        X = synthetic_20ng()
+    else:
+        # no accelerator: keep the benchmark finishable (same math, scaled
+        # down ~20x; the reported rate is honest for whatever backend runs)
+        from enstop_tpu.synthetic import synthetic_corpus
+
+        X, _ = synthetic_corpus(n_docs=4096, n_words=6000, n_topics=K,
+                                tokens_per_doc=60, seed=0)
+        print("# no TPU backend; benchmarking reduced-scale corpus on "
+              + jax.default_backend(), file=sys.stderr)
     nnz = X.nnz
     pzd0, pwz0 = plsa_init(X, K, rng=np.random.RandomState(1))
 
