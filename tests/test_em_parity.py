@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 import oracle
 from enstop_tpu.ops import coo as coo_ops
@@ -128,3 +129,18 @@ def test_padding_is_absorbing(small_corpus):
     assert np.all(np.asarray(got_zd)[n:] == 0)
     assert np.all(np.asarray(got_wz)[:, m:] == 0)
     assert np.all(np.asarray(got_wz)[k:, :] == 0)
+
+
+def test_weighted_coo_step_matches_oracle(small_corpus):
+    X, rows, cols, vals, pzd, pwz = _setup(small_corpus)
+    w = np.random.RandomState(9).uniform(0.5, 3.0, size=X.shape[0]).astype(np.float32)
+    resp = oracle.e_step(rows, cols, vals, pwz, pzd)
+    want_zd, want_wz = oracle.m_step(rows, cols, vals, resp, *X.shape, sample_weight=w)
+    got_zd, got_wz, ll = coo_ops.em_step_coo(
+        rows, cols, vals.astype(np.float32), pzd, pwz, X.shape[0], X.shape[1],
+        sample_weight=jnp.asarray(w),
+    )
+    np.testing.assert_allclose(np.asarray(got_zd), want_zd, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_wz), want_wz, rtol=2e-4, atol=1e-6)
+    want_ll = oracle.log_likelihood(rows, cols, vals, pwz, pzd, sample_weight=w)
+    assert float(ll) == pytest.approx(want_ll, rel=5e-5)
