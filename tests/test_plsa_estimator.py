@@ -146,3 +146,30 @@ def test_estimator_accepts_prepared_counts(small_corpus):
         sp.csr_matrix(small_corpus)
     )
     np.testing.assert_allclose(emb, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_refit_matches_oracle_loop(small_corpus):
+    """plsa_refit (frozen topics) vs the oracle refit loop, fixed iterations."""
+    from enstop_tpu.ops.driver import plsa_refit
+
+    X = small_corpus
+    rows, cols, vals = oracle.to_coo(X)
+    rng = np.random.RandomState(11)
+    topics = rng.dirichlet(np.full(X.shape[1], 0.3), size=4).astype(np.float32)
+
+    # oracle: same random init for P(z|d) as the driver draws
+    from sklearn.utils import check_random_state
+
+    rs = check_random_state(123)
+    pzd = rs.rand(X.shape[0], 4)
+    pzd /= pzd.sum(axis=1, keepdims=True)
+    pzd64 = pzd.astype(np.float64)
+    for _ in range(7):
+        resp = oracle.e_step(rows, cols, vals, topics.astype(np.float64), pzd64)
+        pzd64 = oracle.refit_m_step(rows, cols, vals, resp, X.shape[0])
+
+    got = plsa_refit(
+        sp.csr_matrix(X), topics, n_iter=7, n_iter_per_test=100, tolerance=0.0,
+        random_state=123, backend="xla",
+    )
+    np.testing.assert_allclose(got, pzd64, rtol=5e-4, atol=1e-6)
