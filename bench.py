@@ -57,8 +57,10 @@ def main():
     from enstop_tpu.ops.driver import _get_steps, prepare_counts, resolve_backend
     from enstop_tpu.ops.init import plsa_init
 
+    print(f"# backend: {jax.default_backend()}", file=sys.stderr, flush=True)
     if jax.default_backend() == "tpu":
         X = synthetic_20ng()
+        print(f"# corpus ready: nnz={X.nnz}", file=sys.stderr, flush=True)
     else:
         # no accelerator: keep the benchmark finishable (same math, scaled
         # down ~20x; the reported rate is honest for whatever backend runs)
@@ -100,8 +102,11 @@ def main():
         return zd, wz, ll_fn(X, zd, wz, sample_weight=w)
 
     # warm-up / compile
+    print("# compiling step program (one-off; minutes under this environment's "
+          "remote-compile relay)...", file=sys.stderr, flush=True)
     z1, w1, l1 = chunk(Xd, zd, wz, w, jnp.int32(1))
     _ = np.asarray(z1)
+    print("# compiled; timing", file=sys.stderr, flush=True)
 
     t0 = time.time()
     cur_zd, cur_wz, ll0 = chunk(Xd, zd, wz, w, jnp.int32(0))
