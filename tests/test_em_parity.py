@@ -144,3 +144,27 @@ def test_weighted_coo_step_matches_oracle(small_corpus):
     np.testing.assert_allclose(np.asarray(got_wz), want_wz, rtol=2e-4, atol=1e-6)
     want_ll = oracle.log_likelihood(rows, cols, vals, pwz, pzd, sample_weight=w)
     assert float(ll) == pytest.approx(want_ll, rel=5e-5)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_em_step_fuzz_shapes(seed):
+    """Oracle parity across randomized shapes, topic counts, and weights."""
+    from conftest import make_corpus
+
+    r = np.random.RandomState(seed)
+    n = int(r.randint(10, 90))
+    m = int(r.randint(30, 200))
+    k = int(r.randint(2, 9))
+    X = make_corpus(r, n_docs=n, n_words=m, avg_doc_len=int(r.randint(15, 60)),
+                    n_topics_true=3)
+    rows, cols, vals = oracle.to_coo(X)
+    pzd, pwz = plsa_init(X, k, rng=np.random.RandomState(seed + 1))
+    w = r.uniform(0.1, 4.0, size=n).astype(np.float32) if seed % 2 else None
+
+    resp = oracle.e_step(rows, cols, vals, pwz, pzd)
+    want_zd, want_wz = oracle.m_step(rows, cols, vals, resp, n, m, sample_weight=w)
+    got_zd, got_wz, ll = em_ops.em_step_dense(X, pzd, pwz, sample_weight=w)
+    np.testing.assert_allclose(np.asarray(got_zd), want_zd, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_wz), want_wz, rtol=5e-4, atol=1e-6)
+    want_ll = oracle.log_likelihood(rows, cols, vals, pwz, pzd, sample_weight=w)
+    assert float(ll) == pytest.approx(want_ll, rel=1e-4)
