@@ -86,10 +86,33 @@ class TopicModelBase(BaseEstimator, TransformerMixin):
     @classmethod
     def load(cls, path):
         """Restore an estimator from :meth:`save` output.  ``training_data_`` is
-        not persisted; metrics needing it require a refit or manual assignment."""
+        not persisted; metrics needing it require a refit or manual assignment.
+
+        The checkpoint records the saving class; loading through a different
+        class is an error (``PLSA.load(ensemble_ckpt)`` would silently build the
+        wrong estimator).  Loading through :class:`TopicModelBase` itself
+        dispatches to the recorded class.
+        """
         import json
 
         with np.load(path, allow_pickle=False) as z:
+            saved_class = bytes(z["class_name"]).decode()
+            if cls is TopicModelBase:
+                target = _find_estimator_class(saved_class)
+                if target is None:
+                    raise ValueError(
+                        "Checkpoint was saved by unknown estimator class "
+                        "{!r}".format(saved_class)
+                    )
+                cls = target
+            elif saved_class != cls.__name__:
+                raise ValueError(
+                    "Checkpoint at {!r} was saved by {!r}; load it with "
+                    "{}.load(...) (or TopicModelBase.load(...) to dispatch "
+                    "automatically), not {}.load(...)".format(
+                        str(path), saved_class, saved_class, cls.__name__
+                    )
+                )
             params = json.loads(bytes(z["params_json"]).decode())
             model = cls(**{k: v for k, v in params.items() if k in cls().get_params()})
             model.components_ = z["components_"]
@@ -109,26 +132,69 @@ class TopicModelBase(BaseEstimator, TransformerMixin):
     def _n_topics_fitted(self):
         return self.components_.shape[0]
 
-    def coherence(self, topic_num=None, n_words=20):
-        """Average (or single-topic) coherence of the fitted topics."""
+    def _metric_data(self, data):
+        """Resolve the corpus the metrics count co-occurrences against.
+
+        ``training_data_`` is ``None`` after fitting on :class:`PreparedCounts`
+        (the raw matrix stays host-side by design) and after :meth:`load`; in
+        those cases the caller must pass ``data=`` explicitly.
+        """
+        if data is not None:
+            return data
+        stored = getattr(self, "training_data_", None)
+        if stored is None:
+            raise ValueError(
+                "No training data is stored on this model (it was fitted on a "
+                "PreparedCounts handle, or restored via load()).  Pass the "
+                "count matrix explicitly: model.coherence(data=X) / "
+                "model.log_lift(data=X)."
+            )
+        return stored
+
+    def coherence(self, topic_num=None, n_words=20, data=None):
+        """Average (or single-topic) coherence of the fitted topics.
+
+        ``data``: count matrix to evaluate against; defaults to the stored
+        ``training_data_`` (required explicitly when none is stored).
+        """
         if not isinstance(topic_num, int) and topic_num is not None:
             raise ValueError("Topic number must be an integer or None.")
+        data = self._metric_data(data)
         if topic_num is None:
-            return mean_coherence(self.components_, self.training_data_, n_words)
+            return mean_coherence(self.components_, data, n_words)
         if 0 <= topic_num < self._n_topics_fitted():
-            return coherence(self.components_, topic_num, self.training_data_, n_words)
+            return coherence(self.components_, topic_num, data, n_words)
         raise ValueError(
             "Topic number must be in range 0 to {}".format(self._n_topics_fitted())
         )
 
-    def log_lift(self, topic_num=None, n_words=20):
-        """Average (or single-topic) log lift of the fitted topics."""
+    def log_lift(self, topic_num=None, n_words=20, data=None):
+        """Average (or single-topic) log lift of the fitted topics.
+
+        ``data``: count matrix to evaluate against; defaults to the stored
+        ``training_data_`` (required explicitly when none is stored).
+        """
         if not isinstance(topic_num, int) and topic_num is not None:
             raise ValueError("Topic number must be an integer or None.")
+        data = self._metric_data(data)
         if topic_num is None:
-            return mean_log_lift(self.components_, self.training_data_, n_words)
+            return mean_log_lift(self.components_, data, n_words)
         if 0 <= topic_num < self._n_topics_fitted():
-            return log_lift(self.components_, topic_num, self.training_data_, n_words)
+            return log_lift(self.components_, topic_num, data, n_words)
         raise ValueError(
             "Topic number must be in range 0 to {}".format(self._n_topics_fitted())
         )
+
+
+def _find_estimator_class(name):
+    """Map a checkpoint's recorded class name to the estimator class."""
+    from .. import models as _models
+
+    for mod_name in ("plsa", "streamed", "mesh", "accelerated", "ensemble"):
+        mod = getattr(_models, mod_name, None) or __import__(
+            "enstop_tpu.models." + mod_name, fromlist=[mod_name]
+        )
+        obj = getattr(mod, name, None)
+        if isinstance(obj, type) and issubclass(obj, TopicModelBase):
+            return obj
+    return None

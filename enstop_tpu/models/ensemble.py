@@ -82,9 +82,12 @@ def plsa_topics(X, k, **kwargs):
 def nmf_topics(X, k, **kwargs):
     """One bootstrap-resampled NMF run, topics l1-normalized
     (reference enstop_.py:118-161; solver="mu" uses the TPU-native MU solver,
-    solver="cd" falls back to sklearn's coordinate descent).  The ``alpha``
-    regularization knob is accepted for parity but not applied by the MU
-    solver (the reference default alpha=0.0 is a no-op there too)."""
+    solver="cd" falls back to sklearn's coordinate descent).
+
+    ``alpha`` follows the reference's (pre-1.0 sklearn) semantics: one unscaled
+    L2 constant regularizing both factors.  Modern sklearn scales ``alpha_W`` by
+    ``n_features`` and ``alpha_H`` by ``n_samples``, so the cd fallback divides
+    accordingly to reproduce the reference's objective."""
     A = X.tocsr()
     if kwargs.get("bootstrap", True):
         rng = check_random_state(kwargs.get("random_state", None))
@@ -93,6 +96,7 @@ def nmf_topics(X, k, **kwargs):
     else:
         B = A
     solver = kwargs.get("solver", "mu")
+    alpha = float(kwargs.get("alpha", 0.0))
     if solver == "cd":
         from sklearn.decomposition import NMF
 
@@ -101,6 +105,9 @@ def nmf_topics(X, k, **kwargs):
             init=kwargs.get("init", "nndsvd"),
             beta_loss=2,
             solver="cd",
+            alpha_W=alpha / B.shape[1],
+            alpha_H=alpha / B.shape[0],
+            l1_ratio=0.0,
             random_state=kwargs.get("random_state", None),
         ).fit(B)
         topics = nmf.components_.copy()
@@ -112,6 +119,7 @@ def nmf_topics(X, k, **kwargs):
             k,
             beta_loss=kwargs.get("beta_loss", 1),
             init=kwargs.get("init", "nndsvd") if not isinstance(kwargs.get("init"), (tuple, list)) else "nndsvd",
+            alpha=alpha,
             random_state=kwargs.get("random_state", None),
         )
     return normalized(np.asarray(topics, dtype=np.float64), axis=1).astype(np.float32)

@@ -51,38 +51,45 @@ def nmf_frobenius_init(X, k, rng):
     return W, H
 
 
-def _mu_step_kl(X, W, H):
+def _mu_step_kl(X, W, H, l1_reg, l2_reg):
     """One KL-loss multiplicative update for both factors (W then H, like
-    sklearn's mu solver which alternates W/H per iteration)."""
+    sklearn's mu solver which alternates W/H per iteration).
+
+    ``l1_reg``/``l2_reg`` enter the update denominators exactly as in sklearn's
+    ``_multiplicative_update_w``/``_h`` (denominator ``+= l1`` and ``+= l2*W``)
+    — the reference passes a single unscaled ``alpha`` applied to both factors
+    (enstop_.py:137-154 with pre-1.0 sklearn semantics)."""
     WH = jnp.maximum(jnp.dot(W, H, preferred_element_type=jnp.float32), _TINY)
     R = jnp.where(X > 0, X / WH, 0.0)
     # W update
     numW = jax.lax.dot_general(R, H, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (n, k)
-    denomW = H.sum(axis=1)[None, :]  # (1, k)
+    denomW = H.sum(axis=1)[None, :] + l1_reg + l2_reg * W  # (n, k) broadcast
     W = W * numW / jnp.maximum(denomW, _TINY)
     # H update (recompute WH with the fresh W)
     WH = jnp.maximum(jnp.dot(W, H, preferred_element_type=jnp.float32), _TINY)
     R = jnp.where(X > 0, X / WH, 0.0)
     numH = jax.lax.dot_general(W, R, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (k, m)
-    denomH = W.sum(axis=0)[:, None]  # (k, 1)
+    denomH = W.sum(axis=0)[:, None] + l1_reg + l2_reg * H  # (k, m) broadcast
     H = H * numH / jnp.maximum(denomH, _TINY)
     return W, H
 
 
-def _mu_step_frobenius(X, W, H):
+def _mu_step_frobenius(X, W, H, l1_reg, l2_reg):
     WH = jnp.dot(W, H, preferred_element_type=jnp.float32)
     numW = jax.lax.dot_general(X, H, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     denW = jax.lax.dot_general(WH, H, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    denW = denW + l1_reg + l2_reg * W
     W = W * numW / jnp.maximum(denW, _TINY)
     WH = jnp.dot(W, H, preferred_element_type=jnp.float32)
     numH = jax.lax.dot_general(W, X, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     denH = jax.lax.dot_general(W, WH, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    denH = denH + l1_reg + l2_reg * H
     H = H * numH / jnp.maximum(denH, _TINY)
     return W, H
 
@@ -92,15 +99,15 @@ def _build_mu_loop(beta_loss, update_H):
     step = _mu_step_kl if beta_loss in (1, "kullback-leibler") else _mu_step_frobenius
 
     @jax.jit
-    def run(X, W, H, n_iter):
+    def run(X, W, H, n_iter, l1_reg, l2_reg):
         def body(_, carry):
             W, H = carry
-            W2, H2 = step(X, W, H)
+            W2, H2 = step(X, W, H, l1_reg, l2_reg)
             if not update_H:
                 H2 = H
             return (W2, H2)
 
-        # n_iter is traced: one compiled program per (beta_loss, update_H)
+        # n_iter and regs are traced: one compiled program per (beta_loss, update_H)
         return jax.lax.fori_loop(0, n_iter, body, (W, H))
 
     return run
@@ -114,12 +121,19 @@ def nmf_fit_mu(
     init="nndsvd",
     update_H=True,
     H_init=None,
+    alpha=0.0,
+    l1_ratio=0.0,
     random_state=None,
 ):
     """TPU-native NMF via multiplicative updates on the dense-padded layout.
 
     With ``update_H=False`` and ``H_init`` given, solves only for ``W`` against
     frozen components (the ensemble's final-embedding path, enstop_.py:571-580).
+
+    ``alpha``/``l1_ratio`` follow the reference's (pre-1.0 sklearn) semantics:
+    one unscaled constant regularizing both factors, split into
+    ``l1 = alpha*l1_ratio`` and ``l2 = alpha*(1-l1_ratio)`` terms that enter the
+    MU denominators (enstop_.py:137-154).
     """
     rng = check_random_state(random_state)
     Xd, n, m = pad_dense_counts(X, row_multiple=8, col_multiple=128)
@@ -127,6 +141,9 @@ def nmf_fit_mu(
     if H_init is not None:
         H0 = np.asarray(H_init, dtype=np.float32)
         W0 = np.abs(rng.rand(n, k)).astype(np.float32)
+    elif isinstance(init, (tuple, list)):
+        W0 = np.asarray(init[0], dtype=np.float32)
+        H0 = np.asarray(init[1], dtype=np.float32)
     elif init == "nndsvd":
         from .init import nndsvd_init
 
@@ -144,6 +161,9 @@ def nmf_fit_mu(
     Hp = np.zeros((kp, Xd.shape[1]), np.float32)
     Hp[:k, :m] = H0[:, :m] if H0.shape[1] == m else H0
 
+    l1_reg = float(alpha) * float(l1_ratio)
+    l2_reg = float(alpha) * (1.0 - float(l1_ratio))
     run = _build_mu_loop(beta_loss if beta_loss in (1, 2) else 1, bool(update_H))
-    W, H = run(Xd, Wp, Hp, jnp.int32(n_iter))
+    W, H = run(Xd, Wp, Hp, jnp.int32(n_iter),
+               jnp.float32(l1_reg), jnp.float32(l2_reg))
     return np.asarray(W)[:n, :k], np.asarray(H)[:k, :m]
