@@ -9,9 +9,14 @@ doc/vocab/nnz counts.  The metric is EM update throughput (nnz * k responsibilit
 per second) over a full 100-iteration PLSA fit, end-to-end on device (including the
 periodic log-likelihood convergence tests the reference also performs).
 
-Baseline derivation (BASELINE.md): the reference's committed notebook output fits
-PLSA (k=20, n_iter=100, numba kernels) on 20NG in 14.7 s wall => 100 * 2.2e6 * 20 /
-14.7 s = 3.0e8 nnz*k updates/s.  vs_baseline = ours / 3.0e8.
+Baseline derivation (BASELINE.md, notebook cell 12): the reference fits PLSA
+(k=20, n_iter=100, numba kernels) on 20NG in 14.7 s wall / 26.6 s CPU on a 2-core
+laptop.  Two honest normalizations:
+
+* single-core CPU-time baseline (the north star's denominator, BASELINE.md:22):
+  100 * 2.2e6 * 20 / 26.6 s = 1.654e8 updates/s  -> reported as ``vs_baseline``
+* 2-core wall-clock baseline:
+  100 * 2.2e6 * 20 / 14.7 s = 2.993e8 updates/s  -> reported as ``vs_2core_wall``
 """
 
 import json
@@ -23,7 +28,8 @@ import scipy.sparse as sp
 
 N_DOCS, N_WORDS, K, TOKENS_PER_DOC = 18846, 25000, 20, 155
 N_ITER = 100
-BASELINE_UPDATES_PER_S = 3.0e8
+BASELINE_1CORE_UPDATES_PER_S = 100 * 2.2e6 * 20 / 26.6  # 1.654e8
+BASELINE_2CORE_WALL_UPDATES_PER_S = 100 * 2.2e6 * 20 / 14.7  # 2.993e8
 
 
 def synthetic_20ng(seed=0):
@@ -130,8 +136,14 @@ def main():
             {
                 "metric": "plsa_em_updates_per_s_20ng_k20",
                 "value": round(updates_per_s / 1e9, 4),
-                "unit": "Gupdates/s (nnz*k per second, 100-iter fit incl. LL tests)",
-                "vs_baseline": round(updates_per_s / BASELINE_UPDATES_PER_S, 2),
+                "unit": "Gupdates/s (nnz*k per second, 100-iter fit incl. LL tests); "
+                        "vs_baseline = vs the reference's single-core CPU-time "
+                        "(26.6s -> 1.654e8 upd/s), vs_2core_wall = vs its 2-core "
+                        "wall (14.7s -> 2.993e8 upd/s)",
+                "vs_baseline": round(updates_per_s / BASELINE_1CORE_UPDATES_PER_S, 2),
+                "vs_2core_wall": round(
+                    updates_per_s / BASELINE_2CORE_WALL_UPDATES_PER_S, 2
+                ),
             }
         )
     )
