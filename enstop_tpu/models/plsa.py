@@ -60,8 +60,9 @@ class PLSA(TopicModelBase):
         back as zero embeddings natively) and ``training_data_`` is not set.
         """
         from ..ops.driver import PreparedCounts
+        from ..ops.sell import PreparedSell
 
-        if isinstance(X, PreparedCounts):
+        if isinstance(X, (PreparedCounts, PreparedSell)):
             from ..utils import _check_sample_weight
 
             sample_weight = _check_sample_weight(sample_weight, X, dtype=np.float32)

@@ -10,7 +10,10 @@ Backends
 --------
 ``"xla"``     pure-XLA matmul EM (works on CPU and TPU)
 ``"pallas"``  fused single-pass Pallas TPU kernel (X read once per EM iteration)
-``"auto"``    pallas on TPU, xla elsewhere
+``"sparse"``  O(nnz) dual-sorted SELL path (ops/sell.py): memory and compute
+              scale with the nonzeros, and ``e_step_thresh`` is honored exactly
+``"auto"``    pallas on TPU, xla elsewhere; a materially-firing
+              ``e_step_thresh`` (> 1e-30) auto-routes to ``"sparse"``
 """
 
 from __future__ import annotations
@@ -244,6 +247,19 @@ def plsa_fit(
     """
     rng = check_random_state(random_state)
 
+    from .sell import PreparedSell, THRESH_MATERIAL
+
+    if backend == "auto" and not isinstance(X, (PreparedCounts, PreparedSell)):
+        if e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL:
+            backend = "sparse"  # the only path with exact thresh semantics
+
+    if isinstance(X, PreparedSell) or backend == "sparse":
+        return _plsa_fit_sparse(
+            X, k, sample_weight=sample_weight, init=init, n_iter=n_iter,
+            n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+            e_step_thresh=e_step_thresh, rng=rng, return_info=return_info,
+        )
+
     if isinstance(X, PreparedCounts):
         backend = X.backend
         Xd, n, m, nnz = X.device_array, X.n, X.m, X.nnz
@@ -293,6 +309,52 @@ def plsa_fit(
     return zd_out, wz_out
 
 
+def _plsa_fit_sparse(
+    X, k, sample_weight, init, n_iter, n_iter_per_test, tolerance,
+    e_step_thresh, rng, return_info,
+):
+    """Sparse-backend fit: O(nnz) memory/compute, exact e_step_thresh."""
+    import time as _time
+
+    from .sell import PreparedSell, prepare_sell, sell_fit
+
+    # standardization is the estimator layer's job (validate_corpus), matching
+    # the dense backends which pad the matrix as-given
+    prep = X if isinstance(X, PreparedSell) else prepare_sell(X, standardize=False)
+    if isinstance(X, PreparedSell) and init not in ("random",) and not isinstance(
+        init, (tuple, list)
+    ):
+        raise ValueError(
+            "PreparedSell supports init='random' or an explicit factor tuple; "
+            "data-dependent inits need the raw matrix"
+        )
+    p_z_given_d, p_w_given_z = plsa_init(
+        X if not isinstance(X, PreparedSell) else prep, k, init=init, rng=rng
+    )
+    weighted = sample_weight is not None and bool(
+        np.any(np.asarray(sample_weight) != 1.0)
+    )
+    t0 = _time.perf_counter()
+    zd_f, wz_f, steps, final_ll, ll_trace, n_tests = sell_fit(
+        prep, p_z_given_d, p_w_given_z,
+        sample_weight=np.asarray(sample_weight, np.float32) if weighted else None,
+        n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+        e_step_thresh=e_step_thresh,
+    )
+    zd_out, wz_out = np.asarray(zd_f), np.asarray(wz_f)  # sync
+    wall = _time.perf_counter() - t0
+    if return_info:
+        steps = int(steps)
+        return zd_out, wz_out, {
+            "n_steps": steps,
+            "log_likelihood": float(final_ll),
+            "ll_trace": np.asarray(ll_trace)[: int(n_tests)],
+            "wall_time_s": wall,
+            "nnz_k_updates_per_s": steps * prep.nnz * k / max(wall, 1e-9),
+        }
+    return zd_out, wz_out
+
+
 def plsa_refit(
     X,
     topics,
@@ -316,9 +378,30 @@ def plsa_refit(
     rng = check_random_state(random_state)
     k = topics.shape[0]
 
+    from .sell import PreparedSell, THRESH_MATERIAL
+
+    if backend == "auto" and not isinstance(X, (PreparedCounts, PreparedSell)):
+        if e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL:
+            backend = "sparse"
+
     p_z_given_d = rng.rand(X.shape[0], k)
     p_z_given_d /= p_z_given_d.sum(axis=1, keepdims=True)
     p_z_given_d = p_z_given_d.astype(np.float32)
+
+    if isinstance(X, PreparedSell) or backend == "sparse":
+        from .sell import prepare_sell, sell_refit
+
+        prep = X if isinstance(X, PreparedSell) else prepare_sell(X, standardize=False)
+        weighted = sample_weight is not None and bool(
+            np.any(np.asarray(sample_weight) != 1.0)
+        )
+        zd_f = sell_refit(
+            prep, p_z_given_d, np.asarray(topics, np.float32),
+            sample_weight=np.asarray(sample_weight, np.float32) if weighted else None,
+            n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+            e_step_thresh=e_step_thresh,
+        )[0]
+        return np.asarray(zd_f)
 
     if isinstance(X, PreparedCounts):
         backend = X.backend

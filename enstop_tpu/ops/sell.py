@@ -1,0 +1,406 @@
+"""Sparse O(nnz) EM path: dual sorted padded-segment ("SELL") layout.
+
+The dense-block layout (ops/data.py) streams the full ``n x m`` rectangle every
+iteration — at 20NG's 0.57% density that is ~175x the arithmetically necessary
+work and caps corpora at what fits dense.  This module stores the corpus as the
+reference does — by its nonzeros (``/root/reference/enstop/plsa.py:25-386``
+operates on COO; memory and compute scale with nnz) — in a layout XLA/TPU can
+vectorize:
+
+* **doc-major**: each document's nonzeros are split into fixed-width ``L``
+  segments (ELLPACK with row splitting, a.k.a. sliced-ELL).  Arrays
+  ``row_doc (R,)``, ``cols (R, L)``, ``vals (R, L)``; padding lanes carry
+  ``vals == 0`` (absorbing through every update) and padding rows carry doc 0
+  with zero vals.
+* **word-major**: the same entries sorted by word — ``col_word (R2,)``,
+  ``rows (R2, L)``, ``vals (R2, L)``.
+
+One EM iteration is two passes (the reference's M-step scatter duality:
+``P(z|d)`` accumulates per-doc, ``P(w|z)`` per-word — plsa.py:110-204):
+
+  pass 1 (doc-major):  gather ``wz.T[cols]`` -> s -> r = x/s ->
+                       per-segment contribution -> sorted segment-sum by doc
+  pass 2 (word-major): gather ``zd[rows]``  -> s -> r -> segment-sum by word
+
+Gathers are embedding-style row lookups from ``(m, k)`` / ``(n, k)`` tables;
+segment sums are sorted-segment reductions (gather-form via a precomputed
+segment-index table, or ``jax.ops.segment_sum`` — selected by measurement).
+
+``e_step_thresh`` is honored **exactly** here (the fast matmul paths treat it as
+a numerical no-op): the reference drops unnormalized products
+``P(w|z)P(z|d) <= thresh`` from both the numerator and the normalizer
+(plsa.py:97-102); with the per-topic products materialized per entry this is a
+mask before the normalize.  The ensemble's ``e_step_thresh=1e-16``
+(enstop_.py:100,112,432) therefore has a first-class execution path.
+
+Sample-weight asymmetry preserved: the weight multiplies only the ``P(w|z)``
+accumulation (pass 2) and never ``P(z|d)`` (plsa.py:292-300).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import round_up
+
+_TINY = 1e-30
+
+DEFAULT_LANE = 128
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+class SellSides:
+    """Host (numpy) dual-sorted SELL arrays for a CSR corpus."""
+
+    __slots__ = (
+        "row_doc", "cols_a", "vals_a",          # doc-major
+        "col_word", "rows_b", "vals_b",         # word-major
+        "doc_segs", "word_segs",                # gather-form segment tables
+        "n", "m", "nnz", "lane",
+    )
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _pack_one_side(indptr, indices, data, n_rows, lane):
+    """Split each CSR row's nonzeros into ``lane``-wide segments.
+
+    Returns ``(owner (R,), idx (R, L), val (R, L), seg_table (n_rows, S))``
+    where ``seg_table[d]`` lists the segment rows belonging to ``d`` (padded
+    with ``R`` — one past the end, pointing at an implicit zero row).
+    """
+    nnz_r = np.diff(indptr).astype(np.int64)
+    segs_r = -(-nnz_r // lane)  # ceil; 0 for empty rows
+    R = int(segs_r.sum())
+    R_pad = max(round_up(R, 8), 8)
+
+    owner = np.zeros(R_pad, np.int32)
+    idx = np.zeros((R_pad, lane), np.int32)
+    val = np.zeros((R_pad, lane), np.float32)
+
+    if R:
+        owner[:R] = np.repeat(np.arange(n_rows, dtype=np.int32), segs_r)
+        nnz = int(indptr[-1])
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nnz_r)
+        within = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1].astype(np.int64), nnz_r)
+        seg_base = np.concatenate([[0], np.cumsum(segs_r)])[:-1]
+        seg_row = seg_base[row_of] + within // lane
+        lane_pos = within % lane
+        idx[seg_row, lane_pos] = indices.astype(np.int32)
+        val[seg_row, lane_pos] = data.astype(np.float32)
+
+    # gather-form segment table: seg_table[d, j] = j-th segment row of d, else R_pad
+    S = max(int(segs_r.max()) if R else 1, 1)
+    seg_table = np.full((n_rows, S), R_pad, np.int32)
+    if R:
+        seg_base = np.concatenate([[0], np.cumsum(segs_r)])[:-1]
+        for_rows = np.repeat(np.arange(n_rows, dtype=np.int64), segs_r)
+        j = np.arange(R, dtype=np.int64) - seg_base[for_rows]
+        seg_table[for_rows, j] = np.arange(R, dtype=np.int32)
+    return owner, idx, val, seg_table
+
+
+def pack_sell(X, lane=DEFAULT_LANE):
+    """Pack a scipy sparse matrix into dual-sorted SELL arrays (host-side)."""
+    from scipy.sparse import issparse, csr_matrix
+
+    if not issparse(X):
+        X = csr_matrix(np.asarray(X))
+    Xcsr = X.tocsr()
+    Xcsr.sum_duplicates()
+    n, m = Xcsr.shape
+
+    row_doc, cols_a, vals_a, doc_segs = _pack_one_side(
+        Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane
+    )
+    Xcsc = Xcsr.tocsc()
+    col_word, rows_b, vals_b, word_segs = _pack_one_side(
+        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane
+    )
+    return SellSides(
+        row_doc=row_doc, cols_a=cols_a, vals_a=vals_a,
+        col_word=col_word, rows_b=rows_b, vals_b=vals_b,
+        doc_segs=doc_segs, word_segs=word_segs,
+        n=n, m=m, nnz=int(Xcsr.nnz), lane=lane,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side EM step
+# ---------------------------------------------------------------------------
+
+def _segsum_gather(contrib, seg_table):
+    """Sorted segment-sum via the gather-form table: append a zero row, gather
+    each owner's segment rows, reduce.  (R+pad, k), (n, S) -> (n, k)."""
+    padded = jnp.concatenate([contrib, jnp.zeros((1,) + contrib.shape[1:], contrib.dtype)])
+    return padded[seg_table].sum(axis=1)
+
+
+def _segsum_scatter(contrib, owner, num_segments):
+    return jax.ops.segment_sum(
+        contrib, owner, num_segments=num_segments, indices_are_sorted=True
+    )
+
+
+def _pass_contrib(table_side, idx2d, vals, factor_side, thresh):
+    """Shared math of both passes.
+
+    ``table_side``: (R, k) rows of the segment-owner factor (gathered once per
+    segment row); ``idx2d``: (R, L) indices into ``factor_side`` (n_other, k);
+    ``vals``: (R, L) counts (optionally pre-multiplied by sample weight).
+
+    Returns ``(contrib (R, k), s (R, L), gathered (R, L, k))`` where
+    ``contrib[r] = sum_l r[l] * gathered[l]`` with the reference's exact
+    thresholded responsibilities when ``thresh`` fires.
+    """
+    g = factor_side[idx2d]                                  # (R, L, k) gather
+    if thresh is None:
+        s = jnp.einsum("rk,rlk->rl", table_side, g)         # (R, L)
+        r = vals / jnp.maximum(s, _TINY)
+        contrib = jnp.einsum("rl,rlk->rk", r, g)
+        return contrib, s
+    # exact reference semantics (plsa.py:97-102): products <= thresh drop from
+    # numerator and normalizer
+    v = table_side[:, None, :] * g                          # (R, L, k)
+    v = jnp.where(v > thresh, v, 0.0)
+    s_t = v.sum(axis=2)                                     # thresholded normalizer
+    x_over_s = vals / jnp.maximum(s_t, _TINY)
+    contrib = jnp.einsum("rl,rlk->rk", x_over_s, v)
+    # NB: with thresholding, contrib already includes the table_side factor —
+    # callers must NOT multiply by the old factor again.
+    s = jnp.einsum("rk,rlk->rl", table_side, g)             # unthresholded, for LL
+    return contrib, s
+
+
+def em_step_sell(
+    dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="gather"
+):
+    """One exact EM step on SELL device arrays.
+
+    ``dev``: dict of device arrays (see :func:`device_arrays`).
+    ``thresh``: None for the fast r-form, or a float for the reference's exact
+    ``e_step_thresh`` semantics.
+    """
+    n, k = zd.shape
+    m = wz.shape[1]
+    wzT = wz.T  # (m, k)
+
+    # ---- pass 1 (doc-major): P(z|d) numerator + LL --------------------------
+    zd_rows = zd[dev["row_doc"]]                            # (R, k)
+    contrib, s = _pass_contrib(zd_rows, dev["cols_a"], dev["vals_a"], wzT, thresh)
+    if segsum == "gather":
+        B = _segsum_gather(contrib, dev["doc_segs"])        # (n, k)
+    else:
+        B = _segsum_scatter(contrib, dev["row_doc"], n)
+    if thresh is None:
+        num_zd = zd * B
+    else:
+        num_zd = B                                           # zd already inside
+    next_zd = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
+
+    if compute_ll:
+        term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
+        if w is not None:
+            term = term * w[dev["row_doc"]][:, None]
+        ll = term.sum()
+    else:
+        ll = jnp.float32(0.0)
+
+    # ---- pass 2 (word-major): P(w|z) numerator ------------------------------
+    wz_rows = wzT[dev["col_word"]]                          # (R2, k)
+    vals_b = dev["vals_b"]
+    if w is not None:
+        vals_b = vals_b * w[dev["rows_b"]]                  # weight on P(w|z) only
+    contrib2, _ = _pass_contrib(wz_rows, dev["rows_b"], vals_b, zd, thresh)
+    if segsum == "gather":
+        A_T = _segsum_gather(contrib2, dev["word_segs"])    # (m, k)
+    else:
+        A_T = _segsum_scatter(contrib2, dev["col_word"], m)
+    if thresh is None:
+        num_wz = wz * A_T.T
+    else:
+        num_wz = A_T.T
+    next_wz = num_wz / jnp.maximum(num_wz.sum(axis=1, keepdims=True), _TINY)
+
+    return next_zd, next_wz, ll
+
+
+def refit_step_sell(dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="gather"):
+    """Frozen-topics step: only pass 1 (reference plsa.py:733-816)."""
+    n, k = zd.shape
+    wzT = wz.T
+    zd_rows = zd[dev["row_doc"]]
+    contrib, s = _pass_contrib(zd_rows, dev["cols_a"], dev["vals_a"], wzT, thresh)
+    if segsum == "gather":
+        B = _segsum_gather(contrib, dev["doc_segs"])
+    else:
+        B = _segsum_scatter(contrib, dev["row_doc"], n)
+    num_zd = (zd * B) if thresh is None else B
+    next_zd = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
+    if compute_ll:
+        term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
+        if w is not None:
+            term = term * w[dev["row_doc"]][:, None]
+        ll = term.sum()
+    else:
+        ll = jnp.float32(0.0)
+    return next_zd, ll
+
+
+def log_likelihood_sell(dev, zd, wz, w=None):
+    """LL over nonzeros (reference plsa.py:313-386; never thresholded)."""
+    wzT = wz.T
+    zd_rows = zd[dev["row_doc"]]
+    g = wzT[dev["cols_a"]]
+    s = jnp.einsum("rk,rlk->rl", zd_rows, g)
+    term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
+    if w is not None:
+        term = term * w[dev["row_doc"]][:, None]
+    return term.sum()
+
+
+def device_arrays(sides: SellSides):
+    """Ship the packed arrays to the default device once."""
+    return {
+        "row_doc": jax.device_put(jnp.asarray(sides.row_doc)),
+        "cols_a": jax.device_put(jnp.asarray(sides.cols_a)),
+        "vals_a": jax.device_put(jnp.asarray(sides.vals_a)),
+        "col_word": jax.device_put(jnp.asarray(sides.col_word)),
+        "rows_b": jax.device_put(jnp.asarray(sides.rows_b)),
+        "vals_b": jax.device_put(jnp.asarray(sides.vals_b)),
+        "doc_segs": jax.device_put(jnp.asarray(sides.doc_segs)),
+        "word_segs": jax.device_put(jnp.asarray(sides.word_segs)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# fit drivers
+# ---------------------------------------------------------------------------
+
+class PreparedSell:
+    """Device-resident SELL corpus reusable across fits (sparse analog of
+    :class:`enstop_tpu.ops.driver.PreparedCounts`)."""
+
+    __slots__ = ("dev", "n", "m", "nnz", "lane", "backend")
+
+    def __init__(self, dev, n, m, nnz, lane):
+        self.dev = dev
+        self.n = n
+        self.m = m
+        self.nnz = nnz
+        self.lane = lane
+        self.backend = "sparse"
+
+    @property
+    def shape(self):
+        return (self.n, self.m)
+
+
+def prepare_sell(X, lane=DEFAULT_LANE, standardize=True):
+    """Pack + ship a corpus once for repeated sparse fits."""
+    if standardize:
+        from ..utils import standardize_input
+
+        X = standardize_input(X)
+    sides = pack_sell(X, lane=lane)
+    return PreparedSell(device_arrays(sides), sides.n, sides.m, sides.nnz, sides.lane)
+
+
+@lru_cache(maxsize=32)
+def _build_sell_fit(refit, thresholded, segsum, dev_struct):
+    """One compiled while-loop program per (refit, thresholded, segsum,
+    dev-array-shapes); iteration counts / tolerance / thresh are traced."""
+    del dev_struct  # only keys the cache on array shapes
+    from .fit import em_fit_loop
+
+    @jax.jit
+    def run(dev, zd, wz, w, thresh, tol, n_iter, npt):
+        th = thresh if thresholded else None
+
+        if refit:
+            def step(state):
+                new_zd, ll = refit_step_sell(
+                    dev, state[0], state[1], w=w, thresh=th,
+                    compute_ll=False, segsum=segsum,
+                )
+                return (new_zd, state[1]), ll
+        else:
+            def step(state):
+                new_zd, new_wz, ll = em_step_sell(
+                    dev, state[0], state[1], w=w, thresh=th,
+                    compute_ll=False, segsum=segsum,
+                )
+                return (new_zd, new_wz), ll
+
+        def ll_of(state):
+            return log_likelihood_sell(dev, state[0], state[1], w=w)
+
+        res = em_fit_loop(step, ll_of, (zd, wz), n_iter, npt, tol)
+        return res.state[0], res.state[1], res.n_steps, res.final_ll, res.ll_trace, res.n_tests
+
+    return run
+
+
+def _dev_struct(dev):
+    return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in dev.items()))
+
+
+# The fast paths document e_step_thresh <= this as a numerical no-op; above it
+# (the ensemble's 1e-16 and anything larger) the exact masked form runs.
+THRESH_MATERIAL = 1e-30
+
+
+def sell_fit(
+    prep: PreparedSell,
+    p_z_given_d,
+    p_w_given_z,
+    sample_weight=None,
+    n_iter=100,
+    n_iter_per_test=10,
+    tolerance=0.001,
+    e_step_thresh=1e-32,
+    segsum="gather",
+):
+    """EM fit on a prepared SELL corpus.  Returns
+    ``(zd, wz, n_steps, final_ll, ll_trace, n_tests)`` (device arrays)."""
+    thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
+    run = _build_sell_fit(False, thresholded, segsum, _dev_struct(prep.dev))
+    w = (jnp.asarray(np.asarray(sample_weight, np.float32))
+         if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
+    return run(
+        prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(p_w_given_z), w,
+        jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
+        jnp.int32(n_iter), jnp.int32(n_iter_per_test),
+    )
+
+
+def sell_refit(
+    prep: PreparedSell,
+    p_z_given_d,
+    topics,
+    sample_weight=None,
+    n_iter=50,
+    n_iter_per_test=10,
+    tolerance=0.005,
+    e_step_thresh=1e-32,
+    segsum="gather",
+):
+    """Frozen-topics refit on a prepared SELL corpus; returns the same tuple."""
+    thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
+    run = _build_sell_fit(True, thresholded, segsum, _dev_struct(prep.dev))
+    w = (jnp.asarray(np.asarray(sample_weight, np.float32))
+         if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
+    return run(
+        prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(topics), w,
+        jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
+        jnp.int32(n_iter), jnp.int32(n_iter_per_test),
+    )

@@ -1,0 +1,258 @@
+"""Parity tests for the sparse SELL path vs the exact COO oracle.
+
+The COO path (ops/coo.py) is the pinned reference-semantics ground truth,
+itself oracle-tested against tests/oracle.py; the SELL step must reproduce it
+exactly (same math, different layout), including e_step_thresh and the weighted
+asymmetry.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from conftest import make_corpus
+from enstop_tpu.ops import coo as coo_ops
+from enstop_tpu.ops import sell as sell_ops
+
+
+def _setup(seed=0, n=37, m=53, k=5, density=0.15, weighted=False):
+    rng = np.random.RandomState(seed)
+    X = sp.random(n, m, density=density, random_state=rng, format="csr")
+    X.data = np.ceil(X.data * 5).astype(np.float32)
+    # ensure no all-zero docs (estimators remove them; kernels assume nnz>0 rows)
+    for i in np.flatnonzero(np.diff(X.indptr) == 0):
+        X[i, rng.randint(m)] = 1.0
+    X = sp.csr_matrix(X)
+    zd = rng.rand(n, k).astype(np.float32)
+    zd /= zd.sum(1, keepdims=True)
+    wz = rng.rand(k, m).astype(np.float32)
+    wz /= wz.sum(1, keepdims=True)
+    w = (rng.rand(n).astype(np.float32) * 2 + 0.1) if weighted else None
+    return X, zd, wz, w
+
+
+def _coo_step(X, zd, wz, w, thresh):
+    Xc = X.tocoo()
+    return coo_ops.em_step_coo(
+        jnp.asarray(Xc.row), jnp.asarray(Xc.col), jnp.asarray(Xc.data),
+        jnp.asarray(zd), jnp.asarray(wz), X.shape[0], X.shape[1],
+        sample_weight=None if w is None else jnp.asarray(w),
+        probability_threshold=thresh,
+    )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("segsum", ["gather", "scatter"])
+@pytest.mark.parametrize("lane", [8, 128])
+def test_sell_step_matches_coo(weighted, segsum, lane):
+    X, zd, wz, w = _setup(seed=3, weighted=weighted)
+    sides = sell_ops.pack_sell(X, lane=lane)
+    dev = sell_ops.device_arrays(sides)
+    zd2, wz2, ll2 = sell_ops.em_step_sell(
+        dev, jnp.asarray(zd), jnp.asarray(wz),
+        w=None if w is None else jnp.asarray(w), segsum=segsum,
+    )
+    zd1, wz1, ll1 = _coo_step(X, zd, wz, w, 1e-32)
+    np.testing.assert_allclose(np.asarray(zd2), np.asarray(zd1), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(wz2), np.asarray(wz1), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(float(ll2), float(ll1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("thresh", [1e-16, 1e-3, 3e-2])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_sell_threshold_matches_coo(thresh, weighted):
+    """e_step_thresh semantics: products <= thresh drop from numerator AND
+    normalizer (reference plsa.py:97-102).  Large thresholds make the cutoff
+    fire on many entries, exercising the masked path hard."""
+    X, zd, wz, w = _setup(seed=7, weighted=weighted)
+    sides = sell_ops.pack_sell(X)
+    dev = sell_ops.device_arrays(sides)
+    zd2, wz2, ll2 = sell_ops.em_step_sell(
+        dev, jnp.asarray(zd), jnp.asarray(wz),
+        w=None if w is None else jnp.asarray(w), thresh=thresh,
+    )
+    zd1, wz1, ll1 = _coo_step(X, zd, wz, w, thresh)
+    np.testing.assert_allclose(np.asarray(zd2), np.asarray(zd1), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(wz2), np.asarray(wz1), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(float(ll2), float(ll1), rtol=1e-5)
+
+
+def test_threshold_changes_result():
+    """A firing threshold must actually change the update (guards against a
+    silently-inert implementation, VERDICT missing item 3)."""
+    X, zd, wz, _ = _setup(seed=9)
+    sides = sell_ops.pack_sell(X)
+    dev = sell_ops.device_arrays(sides)
+    zd_a, wz_a, _ = sell_ops.em_step_sell(dev, jnp.asarray(zd), jnp.asarray(wz))
+    zd_b, wz_b, _ = sell_ops.em_step_sell(
+        dev, jnp.asarray(zd), jnp.asarray(wz), thresh=3e-2
+    )
+    assert not np.allclose(np.asarray(wz_a), np.asarray(wz_b))
+
+
+@pytest.mark.parametrize("segsum", ["gather", "scatter"])
+def test_sell_refit_matches_coo(segsum):
+    X, zd, wz, _ = _setup(seed=11)
+    sides = sell_ops.pack_sell(X)
+    dev = sell_ops.device_arrays(sides)
+    zd2, ll2 = sell_ops.refit_step_sell(dev, jnp.asarray(zd), jnp.asarray(wz),
+                                        segsum=segsum)
+    # refit = E step + M step with frozen topics: P(z|d) update only
+    Xc = X.tocoo()
+    resp = coo_ops.e_step_coo(jnp.asarray(Xc.row), jnp.asarray(Xc.col),
+                              jnp.asarray(Xc.data), jnp.asarray(zd), jnp.asarray(wz))
+    pzd, _ = coo_ops.m_step_coo(jnp.asarray(Xc.row), jnp.asarray(Xc.col),
+                                jnp.asarray(Xc.data), resp, X.shape[0], X.shape[1])
+    np.testing.assert_allclose(np.asarray(zd2), np.asarray(pzd), rtol=2e-5, atol=1e-7)
+
+
+def test_sell_ll_matches_coo():
+    X, zd, wz, w = _setup(seed=13, weighted=True)
+    sides = sell_ops.pack_sell(X)
+    dev = sell_ops.device_arrays(sides)
+    ll2 = sell_ops.log_likelihood_sell(dev, jnp.asarray(zd), jnp.asarray(wz),
+                                       w=jnp.asarray(w))
+    Xc = X.tocoo()
+    ll1 = coo_ops.log_likelihood_coo(
+        jnp.asarray(Xc.row), jnp.asarray(Xc.col), jnp.asarray(Xc.data),
+        jnp.asarray(zd), jnp.asarray(wz), jnp.asarray(w))
+    np.testing.assert_allclose(float(ll2), float(ll1), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fit-level parity (trajectory + early stop vs the NumPy oracle)
+# ---------------------------------------------------------------------------
+
+import oracle
+from enstop_tpu.ops.driver import plsa_fit, plsa_refit
+from enstop_tpu.ops.init import plsa_init
+from enstop_tpu.ops.sell import prepare_sell, sell_fit
+
+
+@pytest.mark.parametrize("thresh", [1e-32])
+def test_sparse_fit_trajectory_matches_oracle(thresh):
+    Xd = make_corpus(np.random.RandomState(0), seed=17)
+    X = sp.csr_matrix(Xd)
+    rows, cols, vals = oracle.to_coo(Xd)
+    pzd, pwz = plsa_init(X, 4, rng=np.random.RandomState(1))
+    n_iter, npt, tol = 30, 5, 0.01
+    want_zd, want_wz, want_steps, want_lls = oracle.fit(
+        rows, cols, vals, pzd, pwz, *X.shape,
+        n_iter=n_iter, n_iter_per_test=npt, tolerance=tol, thresh=thresh,
+    )
+    prep = prepare_sell(X, standardize=False)  # oracle sees raw counts
+    zd, wz, steps, _, lls, n_tests = sell_fit(
+        prep, pzd, pwz, n_iter=n_iter, n_iter_per_test=npt, tolerance=tol,
+        e_step_thresh=thresh,
+    )
+    assert int(steps) == want_steps
+    np.testing.assert_allclose(
+        np.asarray(lls)[: int(n_tests)], np.array(want_lls), rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(zd), want_zd, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wz), want_wz, rtol=5e-3, atol=1e-5)
+
+
+def test_sparse_multistep_thresholded_matches_oracle():
+    """Several consecutive thresholded EM steps must track the oracle state-for-
+    state.  (Full-trajectory convergence parity with a firing threshold is not
+    well-defined on tiny corpora: any material cutoff eventually zeroes whole
+    words, where the reference's log-likelihood is -inf and its NaN convergence
+    test never stops — our 1e-30 guard keeps LL finite instead.  The while-loop
+    machinery itself is identical and covered at thresh=1e-32 above.)"""
+    Xd = make_corpus(np.random.RandomState(0), seed=37)
+    X = sp.csr_matrix(Xd)
+    rows, cols, vals = oracle.to_coo(Xd)
+    pzd, pwz = plsa_init(X, 4, rng=np.random.RandomState(2))
+    thresh = 2e-3
+    prep = prepare_sell(X, standardize=False)
+    dev = prep.dev
+    zd_j, wz_j = jnp.asarray(pzd), jnp.asarray(pwz)
+    zd_o, wz_o = pzd, pwz
+    for step in range(6):
+        resp = oracle.e_step(rows, cols, vals, wz_o, zd_o, thresh=thresh)
+        zd_o, wz_o = oracle.m_step(rows, cols, vals, resp, *X.shape)
+        zd_j, wz_j, _ = sell_ops.em_step_sell(dev, zd_j, wz_j, thresh=thresh)
+        np.testing.assert_allclose(np.asarray(zd_j), zd_o, rtol=5e-4, atol=1e-6,
+                                   err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(wz_j), wz_o, rtol=5e-4, atol=1e-6,
+                                   err_msg=f"step {step}")
+
+
+def test_plsa_fit_sparse_backend_and_auto_routing():
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=19))
+    zd_a, wz_a = plsa_fit(X, 4, backend="sparse", n_iter=20, random_state=0)
+    assert zd_a.shape == (X.shape[0], 4) and wz_a.shape == (4, X.shape[1])
+    # a materially-firing e_step_thresh auto-routes backend="auto" to sparse:
+    # identical rng stream + identical thresh -> identical result
+    zd_b, wz_b = plsa_fit(X, 4, backend="auto", e_step_thresh=1e-16,
+                          n_iter=20, random_state=0)
+    zd_c, wz_c = plsa_fit(X, 4, backend="sparse", e_step_thresh=1e-16,
+                          n_iter=20, random_state=0)
+    np.testing.assert_allclose(zd_b, zd_c, rtol=1e-6)
+    np.testing.assert_allclose(wz_b, wz_c, rtol=1e-6)
+
+
+def test_plsa_fit_prepared_sell_reuse():
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=23))
+    prep = prepare_sell(X, standardize=False)  # plsa_fit pads raw matrices as-given
+    zd1, wz1 = plsa_fit(prep, 4, n_iter=15, random_state=0)
+    zd2, wz2 = plsa_fit(X, 4, backend="sparse", n_iter=15, random_state=0)
+    np.testing.assert_allclose(zd1, zd2, rtol=1e-6)
+    np.testing.assert_allclose(wz1, wz2, rtol=1e-6)
+
+
+def test_plsa_refit_sparse_matches_dense_backend():
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=29))
+    _, topics = plsa_fit(X, 4, backend="xla", n_iter=20, random_state=0)
+    zd_sparse = plsa_refit(X, topics, backend="sparse", random_state=7)
+    zd_dense = plsa_refit(X, topics, backend="xla", random_state=7)
+    np.testing.assert_allclose(zd_sparse, zd_dense, rtol=2e-3, atol=1e-5)
+
+
+def test_plsa_estimator_sparse_backend():
+    from enstop_tpu import PLSA
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=31).astype(np.int64))
+    model = PLSA(n_components=4, backend="sparse", n_iter=25, random_state=0).fit(X)
+    assert model.embedding_.shape == (X.shape[0], 4)
+    np.testing.assert_allclose(model.components_.sum(axis=1), 1.0, rtol=1e-4)
+    t = model.transform(X[:7])
+    assert t.shape == (7, 4)
+    # quality sanity: LL improved over the fit
+    assert model.history_[-1] > model.history_[0]
+
+
+def test_pack_sell_empty_and_long_rows():
+    """Edge cases: an empty doc and a doc spanning many segments."""
+    n, m = 6, 300
+    X = sp.lil_matrix((n, m), dtype=np.float32)
+    X[0, :250] = 1.0          # long doc: 250 nnz -> 2 segments at lane 128
+    X[2, 5] = 3.0
+    # doc 1, 3, 4, 5: row 4 left empty deliberately
+    X[1, 7] = 1.0
+    X[3, 9] = 2.0
+    X[5, 1] = 1.0
+    X = sp.csr_matrix(X)
+    sides = sell_ops.pack_sell(X)
+    assert sides.nnz == X.nnz
+    # every nonzero is present exactly once
+    recon = np.zeros((n, m), np.float32)
+    for r in range(sides.row_doc.shape[0]):
+        d = sides.row_doc[r]
+        for l in range(sides.lane):
+            if sides.vals_a[r, l] != 0:
+                recon[d, sides.cols_a[r, l]] += sides.vals_a[r, l]
+    np.testing.assert_array_equal(recon, X.toarray())
+
+    dev = sell_ops.device_arrays(sides)
+    rng = np.random.RandomState(0)
+    zd = rng.rand(n, 3).astype(np.float32); zd /= zd.sum(1, keepdims=True)
+    wz = rng.rand(3, m).astype(np.float32); wz /= wz.sum(1, keepdims=True)
+    zd2, wz2, _ = sell_ops.em_step_sell(dev, jnp.asarray(zd), jnp.asarray(wz))
+    zd1, wz1, _ = _coo_step(X, zd, wz, None, 1e-32)
+    # empty doc: SELL yields a zero row, COO segment_sum too
+    np.testing.assert_allclose(np.asarray(zd2), np.asarray(zd1), rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(wz2), np.asarray(wz1), rtol=2e-5, atol=1e-7)
