@@ -47,9 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 _TINY = 1e-30
 
 # Default tile sizes, picked empirically on v5e at 20NG scale (see
-# scripts/bench_kernel.py): 256x1024 wins over 512x512 despite higher aliased-A
-# read-modify-write traffic (2*kp/Bd of the X stream).
-_DEFAULT_BD = 256
+# scripts/exp_kernel_variants.py): 512x1024 with the mask-free E-step measures
+# 4.26 ms/iter vs 4.95 for the round-1 256x1024 masked kernel (+16%) — taller
+# tiles halve the aliased-A read-modify-write traffic (2*kp/Bd of the X stream).
+_DEFAULT_BD = 512
 _DEFAULT_BW = 1024
 _VMEM_BUDGET = 96 * 1024 * 1024
 
@@ -103,9 +104,16 @@ def _make_em_kernel(compute_ll, precision):
 
         s = _dot(zd, wz, ((1,), (0,)), precision)
         s_safe = jnp.maximum(s, _TINY)
-        # x == 0 -> r == 0 automatically; the mask guards x > 0 with underflowed
-        # s (a dead word/doc), where the reference also yields zero responsibility.
-        r = jnp.where(x > 0, x / s_safe, 0.0)
+        # Mask-free: x == 0 -> r == 0 exactly (s_safe >= 1e-30 > 0).  When s is
+        # tiny but the per-topic products are nonzero, the huge r is the
+        # *intended* mathematics — r * wz reconstructs the normalized
+        # responsibility x * v_z / s, exactly like the reference's per-entry
+        # normalize (plsa.py:97-104); cannot overflow f32 (x <= 1e4 counts ->
+        # r <= 1e34 < f32 max).  When s == 0 outright (all products flushed or
+        # a dead word column) every r * wz product is 0.  Dropping the
+        # compare+select saves two VPU passes: measured 4.46 -> 4.26 ms/iter
+        # at 20NG scale, bit-identical factors (scripts/exp_kernel_variants.py).
+        r = x / s_safe
 
         a_tile = _dot(zd * w, r, ((0,), (0,)), precision)   # (kp, Bw)
         b_tile = _dot(r, wz, ((1,), (1,)), precision)       # (Bd, kp)
@@ -143,7 +151,7 @@ def _make_refit_kernel(compute_ll, precision):
 
         s = _dot(zd, wz, ((1,), (0,)), precision)
         s_safe = jnp.maximum(s, _TINY)
-        r = jnp.where(x > 0, x / s_safe, 0.0)
+        r = x / s_safe  # mask-free, see the EM kernel note
         b_tile = _dot(r, wz, ((1,), (1,)), precision)
 
         @pl.when(j == 0)
