@@ -24,9 +24,13 @@ __all__ = ["HDBSCAN", "hdbscan_labels", "mutual_reachability", "mst_linkage", "s
 
 
 def core_distances(dist, min_samples):
-    """Distance to the min_samples-th neighbor, self included at rank 0 — the
-    convention of the reference's hand-built KL combiner (enstop_.py:288)."""
-    k = min(min_samples, dist.shape[0] - 1)
+    """Distance to the min_samples-th nearest neighbor COUNTING the point
+    itself — the hdbscan package / sklearn.cluster.HDBSCAN convention
+    (sklearn _hdbscan/_reachability.pyx partitions at ``min_samples - 1`` on
+    rows that include self at distance 0).  NB the reference's hand-built KL
+    combiner uses rank ``min_samples`` instead (enstop_.py:288); that variant
+    lives inline in models/ensemble.py."""
+    k = min(max(min_samples - 1, 0), dist.shape[0] - 1)
     return np.sort(dist, axis=1)[:, k]
 
 
@@ -36,15 +40,17 @@ def mutual_reachability(dist, min_samples):
 
 
 def mst_linkage(mreach):
-    """Dense Prim's MST over the mutual-reachability graph.
-
-    Returns edges (a, b, weight) in discovery order (like hdbscan's
-    ``mst_linkage_core``); sort by weight before single-linkage.
+    """Dense Prim's MST over the mutual-reachability graph, replicating the
+    hdbscan package / sklearn quirk exactly (``mst_linkage_core`` /
+    sklearn ``mst_from_mutual_reachability``): each recorded edge is
+    ``(previously-added node, new node, weight)`` — the left endpoint is NOT
+    the new node's true nearest in-tree neighbor.  The weight-sorted
+    union-find downstream therefore reproduces their dendrogram bit-for-bit,
+    including tie cases where a textbook source-tracking Prim differs.
     """
     n = mreach.shape[0]
     in_tree = np.zeros(n, dtype=bool)
     best = np.full(n, np.inf)
-    source = np.zeros(n, dtype=np.intp)
     edges = np.zeros((n - 1, 3))
     current = 0
     in_tree[0] = True
@@ -52,10 +58,9 @@ def mst_linkage(mreach):
         d = mreach[current]
         update = ~in_tree & (d < best)
         best[update] = d[update]
-        source[update] = current
         best_masked = np.where(in_tree, np.inf, best)
         nxt = int(np.argmin(best_masked))
-        edges[it] = (source[nxt], nxt, best_masked[nxt])
+        edges[it] = (current, nxt, best_masked[nxt])
         in_tree[nxt] = True
         current = nxt
     return edges
@@ -65,7 +70,10 @@ def single_linkage_tree(mst_edges):
     """Union-find over weight-sorted MST edges -> scipy-style linkage rows
     (left, right, distance, size), node i's cluster id = n + i."""
     n = mst_edges.shape[0] + 1
-    order = np.argsort(mst_edges[:, 2], kind="stable")
+    # default (introsort) argsort, matching sklearn hdbscan.py:165 — tie order
+    # among equal-weight edges follows numpy's unstable sort, and equal-weight
+    # tie order changes the dendrogram, so this must mirror theirs exactly
+    order = np.argsort(mst_edges[:, 2])
     edges = mst_edges[order]
     parent = np.arange(2 * n - 1)
     size = np.ones(2 * n - 1)
@@ -167,11 +175,16 @@ def condense_tree(linkage, min_cluster_size):
 
 
 def compute_stability(ct):
-    """stability[c] = sum over child rows of (lambda - birth_lambda(c)) * size."""
+    """stability[c] = sum over all child rows of c of (lambda - birth(c)) * size.
+
+    Follows hdbscan's ``compute_stability`` exactly: a cluster's birth lambda is
+    the lambda of the row that created it (its first appearance as a child);
+    the root's birth is 0.  Every row contributes — point fall-outs and cluster
+    splits alike.
+    """
     births = {}
     for r in ct:
-        if r["child_size"] > 1 or r["child"] >= ct["parent"].min():
-            births.setdefault(r["child"], r["lambda_val"])
+        births.setdefault(int(r["child"]), r["lambda_val"])
     root = int(ct["parent"].min())
     births[root] = 0.0
     stability = {}
@@ -179,9 +192,13 @@ def compute_stability(ct):
         c = int(r["parent"])
         birth = births.get(c, 0.0)
         lam = r["lambda_val"]
-        if not np.isfinite(lam):
-            lam = birth  # infinite lambda contributes nothing extra here
+        # duplicate points give 1/0 = inf lambdas and inf stabilities — the
+        # hdbscan package propagates them the same way
         stability[c] = stability.get(c, 0.0) + (lam - birth) * r["child_size"]
+    # leaf clusters that never appear as parents still need an entry
+    for r in ct:
+        if r["child_size"] > 1 and int(r["child"]) not in stability:
+            stability[int(r["child"])] = 0.0
     return stability
 
 
@@ -195,41 +212,53 @@ def _cluster_children(ct):
 
 
 def select_clusters(ct, stability, method="leaf", allow_single_cluster=False):
+    """Cluster selection following hdbscan's ``_tree_to_labels`` internals.
+
+    ``"leaf"``: the leaves of the cluster tree (hdbscan ``get_cluster_tree_leaves``);
+    when the only leaf is the root it is selected only under
+    ``allow_single_cluster``.
+
+    ``"eom"``: hdbscan's bottom-up excess-of-mass dynamic program — walk
+    clusters from the deepest label upward; a node keeps itself iff its
+    stability is at least the sum of its children's (propagated) stabilities,
+    and keeping a node deselects its whole subtree.  The root participates in
+    the comparison only under ``allow_single_cluster`` (hdbscan's
+    ``get_clusters``: ``node_list = sorted(...)[:-1]`` unless
+    allow_single_cluster).  The result is the stability-maximizing antichain of
+    the cluster tree.
+    """
     root = int(ct["parent"].min())
     kids = _cluster_children(ct)
     all_clusters = set([root]) | {c for cs in kids.values() for c in cs}
 
     if method == "leaf":
-        leaves = sorted(c for c in all_clusters if c not in kids)
-        if leaves == [root] and not allow_single_cluster:
-            return []
-        if not leaves:
-            return [root] if allow_single_cluster else []
-        if leaves == [root]:
-            return [root]
-        return [c for c in leaves if c != root or allow_single_cluster]
+        # leaves of the CLUSTER tree only; the root is never a leaf.  With no
+        # splits at all sklearn's leaf branch ends up selecting NOTHING (its
+        # `is_cluster[root] = True` is immediately overwritten by
+        # `selected_clusters = leaves`, _tree.pyx:764-785) — every point is
+        # noise, allow_single_cluster notwithstanding.  Mirrored exactly.
+        return sorted(c for c in all_clusters if c not in kids and c != root)
 
-    # "eom" (excess of mass), bottom-up
-    selected = {c: True for c in all_clusters if c != root}
-    for c in sorted(all_clusters, reverse=True):
-        if c == root:
-            continue
-        child_stab = sum(stability.get(x, 0.0) for x in kids.get(c, []))
-        if kids.get(c) and child_stab > stability.get(c, 0.0):
-            selected[c] = False
-            stability[c] = child_stab
-        elif kids.get(c):
-            for x in _descendants(kids, c):
-                selected[x] = False
-    chosen = [c for c, v in selected.items() if v]
-    # keep only top-most chosen (no chosen ancestors)
-    result = []
-    for c in chosen:
-        if not any(a in chosen for a in _ancestors(ct, c) if a != c):
-            result.append(c)
-    if not result and allow_single_cluster:
-        return [root]
-    return sorted(result)
+    if method != "eom":
+        raise ValueError(
+            "cluster_selection_method must be 'leaf' or 'eom', got {!r}".format(method)
+        )
+
+    stability = dict(stability)  # the DP mutates propagated values
+    node_list = sorted(all_clusters, reverse=True)
+    if not allow_single_cluster:
+        node_list = [c for c in node_list if c != root]
+    is_cluster = {c: True for c in node_list}
+    for node in node_list:  # deepest labels first = bottom-up
+        subtree_stability = sum(stability.get(x, 0.0) for x in kids.get(node, []))
+        if subtree_stability > stability.get(node, 0.0):
+            is_cluster[node] = False
+            stability[node] = subtree_stability
+        else:
+            for sub in _descendants(kids, node):
+                if sub != node:
+                    is_cluster[sub] = False
+    return sorted(c for c, v in is_cluster.items() if v)
 
 
 def _descendants(kids, c):
@@ -241,59 +270,72 @@ def _descendants(kids, c):
     return out
 
 
-def _ancestors(ct, c):
-    parent_of = {int(r["child"]): int(r["parent"]) for r in ct if r["child_size"] > 1}
-    out = []
-    while c in parent_of:
-        c = parent_of[c]
-        out.append(c)
-    return out
-
-
 def labels_and_probabilities(ct, selected, n_points, allow_single_cluster=False):
-    selected = set(selected)
+    """Point labels + membership strengths following hdbscan's ``do_labelling``
+    and ``get_probabilities``.
+
+    Assignment is via union-find over the condensed tree with edges into the
+    selected clusters cut: each point resolves to the lowest selected cluster
+    containing it, or to the root (noise) otherwise.  Under
+    ``allow_single_cluster`` with the root selected, a point hanging directly
+    off the root is labeled only if it persists to the maximum lambda among the
+    root's direct children — hdbscan's rule; everything below that is noise.
+    """
+    selected = set(int(c) for c in selected)
     root = n_points
     cluster_ids = {c: i for i, c in enumerate(sorted(selected))}
     labels = np.full(n_points, -1, dtype=np.intp)
     probs = np.zeros(n_points)
 
-    point_rows = ct[ct["child_size"] == 1]
-    # lambda at which each cluster's last point leaves (for probability scaling)
-    max_lambda = {}
-    for r in point_rows:
-        c = int(r["parent"])
-        lam = r["lambda_val"]
-        if np.isfinite(lam):
-            max_lambda[c] = max(max_lambda.get(c, 0.0), lam)
+    # union-find: merge child into parent for every edge NOT entering a
+    # selected cluster (hdbscan TreeUnionFind in do_labelling)
+    max_node = max(int(ct["child"].max()), int(ct["parent"].max())) + 1
+    uf_parent = np.arange(max_node, dtype=np.intp)
 
-    # map each cluster to its selected ancestor (itself if selected)
-    parent_of = {int(r["child"]): int(r["parent"]) for r in ct if r["child_size"] > 1}
+    def find(x):
+        r = x
+        while uf_parent[r] != r:
+            r = uf_parent[r]
+        while uf_parent[x] != r:
+            uf_parent[x], x = r, uf_parent[x]
+        return r
 
-    def selected_ancestor(c):
-        while True:
-            if c in selected:
-                return c
-            if c not in parent_of:
-                return None
-            c = parent_of[c]
+    for r in ct:
+        child = int(r["child"])
+        if child not in selected:
+            uf_parent[find(child)] = find(int(r["parent"]))
 
-    for r in point_rows:
-        p = int(r["child"])
-        c = int(r["parent"])
-        target = selected_ancestor(c)
-        if target is None:
-            continue
-        if target == root and not allow_single_cluster:
-            continue
-        # hdbscan's allow_single_cluster rule: when the root is the selected
-        # cluster, points that fell out of the root directly at low lambda are
-        # noise unless they outlive the root's split structure; we keep the
-        # simpler rule (all points below root belong) which matches leaf-mode
-        # usage on well-separated data.
-        labels[p] = cluster_ids[target]
-        lam_max = max_lambda.get(target, 0.0)
-        lam_p = r["lambda_val"]
-        if lam_max <= 0 or not np.isfinite(lam_p):
+    point_lambda = {}
+    root_child_max_lambda = -np.inf
+    deaths = {}  # per-parent max lambda over ALL its rows (sklearn max_lambdas)
+    for r in ct:
+        if r["child_size"] == 1:
+            point_lambda[int(r["child"])] = r["lambda_val"]
+        if int(r["parent"]) == root:
+            # every sibling row participates, point or cluster, inf included
+            # (sklearn _tree.pyx do_labelling threshold)
+            root_child_max_lambda = max(root_child_max_lambda, r["lambda_val"])
+        p_ = int(r["parent"])
+        deaths[p_] = max(deaths.get(p_, 0.0), r["lambda_val"])
+
+    single_root = len(selected) == 1 and root in selected
+
+    for p in range(n_points):
+        c = find(p)
+        if c not in selected:
+            continue  # noise
+        if c == root:
+            if not (single_root and allow_single_cluster):
+                continue
+            # hdbscan: with only the root selected, a point is a member only
+            # if its own lambda reaches the largest lambda among the root's
+            # direct rows (the lambda of the root's last split / fall-out)
+            if point_lambda.get(p, 0.0) < root_child_max_lambda:
+                continue
+        labels[p] = cluster_ids[c]
+        lam_max = deaths.get(c, 0.0)
+        lam_p = point_lambda.get(p, np.inf)
+        if lam_max == 0.0 or not np.isfinite(lam_p):
             probs[p] = 1.0
         else:
             probs[p] = min(lam_p, lam_max) / lam_max
@@ -313,13 +355,17 @@ def hdbscan_labels(
     Returns ``(labels, probabilities)`` with -1 for noise.
     """
     if dist is None:
-        X = np.asarray(X, dtype=np.float64)
-        diff = X[:, None, :] - X[None, :, :]
-        dist = np.sqrt((diff * diff).sum(-1))
+        # sklearn's pairwise_distances, not a hand-rolled broadcast: the two
+        # differ in last-ulp rounding, and equal-weight tie order downstream
+        # makes the dendrogram sensitive to exactly those ulps
+        from sklearn.metrics import pairwise_distances
+
+        dist = pairwise_distances(np.asarray(X, dtype=np.float64))
     dist = np.asarray(dist, dtype=np.float64)
     n = dist.shape[0]
-    if n <= max(2, min_cluster_size):
-        return np.zeros(n, dtype=np.intp), np.ones(n)
+    if n <= 2:
+        # too small for a dendrogram; sklearn degenerates to noise
+        return np.full(n, -1, dtype=np.intp), np.zeros(n)
 
     mreach = mutual_reachability(dist, min_samples)
     mst = mst_linkage(mreach)

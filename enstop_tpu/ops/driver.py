@@ -212,9 +212,13 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
         X = standardize_input(X)
     rm, cm = _layout_multiples(backend, *X.shape)
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
-    dev = jax.device_put(Xd)
     if _is_bf16(x_dtype):
-        dev = jax.jit(lambda a: a.astype(jnp.bfloat16))(dev)
+        # cast on the host: halves the H2D transfer AND the peak HBM (an f32
+        # staging copy of a large corpus can alone exceed device memory)
+        import ml_dtypes
+
+        Xd = Xd.astype(ml_dtypes.bfloat16)
+    dev = jax.device_put(Xd)
     return PreparedCounts(dev, n, m, _nnz_of(X), backend)
 
 
@@ -277,7 +281,9 @@ def plsa_fit(
         Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
         nnz = _nnz_of(X)
         if _is_bf16(x_dtype):
-            Xd = jax.jit(lambda a: a.astype(jnp.bfloat16))(jax.device_put(Xd))
+            import ml_dtypes
+
+            Xd = Xd.astype(ml_dtypes.bfloat16)  # host cast: halves H2D + peak HBM
 
     zd, wz = pad_factors(p_z_given_d, p_w_given_z, Xd.shape[0], Xd.shape[1])
 
@@ -412,7 +418,9 @@ def plsa_refit(
         rm, cm = _layout_multiples(backend, *X.shape)
         Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
         if _is_bf16(x_dtype):
-            Xd = jax.jit(lambda a: a.astype(jnp.bfloat16))(jax.device_put(Xd))
+            import ml_dtypes
+
+            Xd = Xd.astype(ml_dtypes.bfloat16)
     zd, wz = pad_factors(p_z_given_d, np.asarray(topics, dtype=np.float32), Xd.shape[0], Xd.shape[1])
 
     weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))

@@ -1,0 +1,114 @@
+"""Sparse-vs-dense EM benchmark on the real TPU (VERDICT round-2 item 1).
+
+Three workloads:
+  A. 20NG shape (18846 x 25k, nnz 2.2M, density 0.57%) — dense home turf
+  B. 10x sparser / large vocab (20k x 141k, nnz 2.2M, density 0.078%) —
+     PubMed-like vocabulary; dense still fits (bf16 5.6 GB) for comparison
+  C. sparse-only scale (250k x 141k, nnz 25M, density 0.07%) — the dense
+     rectangle would be 70 GB bf16 (> HBM); only the O(nnz) path can run it
+
+For A and B: fused dense kernel vs SELL sparse path (gather and scatter
+segment-sum variants).  For C: SELL only, with throughput recorded.
+Timing to host transfer (np.asarray), one fit-loop-free step loop.
+"""
+import sys, time
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+
+
+def synth(n, m, nnz, seed=0):
+    rng = np.random.RandomState(seed)
+    # Zipfian-ish vocabulary like real text
+    p = 1.0 / np.arange(1, m + 1) ** 1.05
+    p /= p.sum()
+    rows = rng.randint(0, n, nnz).astype(np.int64)
+    cols = rng.choice(m, size=nnz, p=p).astype(np.int64)
+    vals = (1 + rng.poisson(1.2, nnz)).astype(np.float32)
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
+    X.sum_duplicates()
+    return X
+
+
+def bench_dense(X, k, iters=30):
+    from enstop_tpu.ops.driver import prepare_counts
+    from enstop_tpu.ops import pallas_em
+    from enstop_tpu.ops.data import pad_factors
+    from enstop_tpu.ops.init import plsa_init
+
+    prep = prepare_counts(X, standardize=False)
+    zd0, wz0 = plsa_init(X, k, rng=np.random.RandomState(1))
+    zd, wz = pad_factors(zd0, wz0, prep.device_array.shape[0], prep.device_array.shape[1])
+    zd, wz = jnp.asarray(zd), jnp.asarray(wz)
+
+    @jax.jit
+    def step(X, zd, wz):
+        return pallas_em.em_step_fused(X, zd, wz, compute_ll=False)
+
+    z, w, _ = step(prep.device_array, zd, wz); _ = np.asarray(z)
+    t0 = time.time()
+    z, w = zd, wz
+    for _ in range(iters):
+        z, w, _ = step(prep.device_array, z, w)
+    _ = np.asarray(z)
+    dt = (time.time() - t0) / iters
+    return dt
+
+
+def bench_sparse(X, k, segsum, iters=30):
+    from enstop_tpu.ops.sell import prepare_sell, em_step_sell
+    from enstop_tpu.ops.init import plsa_init
+
+    prep = prepare_sell(X, standardize=False)
+    zd, wz = plsa_init(X, k, rng=np.random.RandomState(1))
+    zd, wz = jnp.asarray(zd), jnp.asarray(wz)
+
+    @jax.jit
+    def step(zd, wz):
+        return em_step_sell(prep.dev, zd, wz, compute_ll=False, segsum=segsum)
+
+    z, w, _ = step(zd, wz); _ = np.asarray(z)
+    t0 = time.time()
+    z, w = zd, wz
+    for _ in range(iters):
+        z, w, _ = step(z, w)
+    _ = np.asarray(z)
+    dt = (time.time() - t0) / iters
+    return dt
+
+
+def report(label, dt, nnz, k):
+    print(f"{label:38s} {dt*1e3:8.2f} ms/iter  {nnz*k/dt/1e9:7.2f} Gupd/s",
+          flush=True)
+
+
+def main():
+    print("# backend:", jax.default_backend(), flush=True)
+    K = 20
+
+    print("== A. 20NG shape (density 0.57%) ==", flush=True)
+    X = synth(18846, 25000, 2_200_000)
+    print(f"#  nnz={X.nnz}", flush=True)
+    report("dense fused", bench_dense(X, K), X.nnz, K)
+    for ss in ("gather", "scatter"):
+        report(f"sparse SELL ({ss})", bench_sparse(X, K, ss), X.nnz, K)
+
+    print("== B. 10x sparser, 141k vocab (density 0.078%) ==", flush=True)
+    X = synth(20000, 141000, 2_200_000)
+    print(f"#  nnz={X.nnz}", flush=True)
+    report("dense fused", bench_dense(X, K), X.nnz, K)
+    for ss in ("gather", "scatter"):
+        report(f"sparse SELL ({ss})", bench_sparse(X, K, ss), X.nnz, K)
+
+    print("== C. sparse-only scale: 250k x 141k, nnz 25M ==", flush=True)
+    X = synth(250_000, 141_000, 25_000_000)
+    print(f"#  nnz={X.nnz}  dense-bf16-would-be={X.shape[0]*X.shape[1]*2/1e9:.0f} GB",
+          flush=True)
+    report("sparse SELL (gather)", bench_sparse(X, K, "gather", iters=10), X.nnz, K)
+
+
+if __name__ == "__main__":
+    main()

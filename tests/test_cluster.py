@@ -124,7 +124,9 @@ def test_umap_then_hdbscan_recovers_groups(rng):
             rows.append(q / q.sum())
     T = np.array(rows)
     emb = umap_embed(X=T, n_components=5, n_neighbors=10, random_state=0)
-    labels, _ = hdbscan_labels(X=emb, min_samples=3, min_cluster_size=4,
+    # min_samples=4 = the round-1 effective neighbor rank: core distance is now
+    # the hdbscan-package convention (min_samples-th neighbor counting self)
+    labels, _ = hdbscan_labels(X=emb, min_samples=4, min_cluster_size=4,
                                cluster_selection_method="leaf",
                                allow_single_cluster=True)
     assert labels.max() + 1 == 4
