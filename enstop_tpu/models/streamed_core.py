@@ -1,0 +1,274 @@
+"""Out-of-core streamed pLSA: host memory O(nnz), device memory O(block).
+
+Successor of the reference's ``StreamedPLSA`` (streamed_plsa.py:322-1039).
+The round-1 implementation pre-densified every document block into host RAM
+(O(n·m) — the dense 8M-doc corpus it claimed to serve would need terabytes);
+this one keeps the corpus as per-block *sparse chunk arrays*:
+
+* at fit start each document block is packed ONCE into the dual-sorted chunk
+  layout of ops/pallas_sell.py (host memory ~= 3 int/float arrays per nonzero,
+  twice — O(nnz), like the reference's CSR);
+* every EM iteration streams each block's chunks host→HBM and runs the fused
+  chunk kernels: the word pass accumulates the global ``P(w|z)`` numerator
+  (deferred normalize, exactly streamed_plsa.py:383-389), the doc pass updates
+  that block's ``P(z|d)`` rows (row-local normalization commutes);
+* the log-likelihood comes FREE from the doc pass (it evaluates the
+  pre-update factors), so convergence testing never costs an extra stream:
+  the reference's test after iteration T uses LL(state_T), which this loop
+  collects during iteration T+1 — factors are checkpointed at test points so
+  an early stop returns exactly the reference's state;
+* JAX async dispatch overlaps each block's H2D with the previous block's
+  kernels (double buffering).
+
+Device-resident state: ``P(w|z)``, the A accumulator, one block's ``P(z|d)``
+and chunk arrays in flight — independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import issparse, csr_matrix
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pallas_sell as ps
+from ..ops import sell as sell_ops
+from ..ops.data import round_up
+from ..ops.init import plsa_init
+
+_TINY = 1e-30
+
+
+def _use_pallas():
+    return jax.default_backend() == "tpu"
+
+
+class _BlockStore:
+    """Per-block packed sparse arrays (host, O(nnz_block))."""
+
+    def __init__(self, X, block_docs, use_pallas, lane=None):
+        Xcsr = X.tocsr() if issparse(X) else csr_matrix(np.asarray(X))
+        n, m = Xcsr.shape
+        self.n, self.m = n, m
+        self.block_docs = block_docs
+        self.n_blocks = -(-n // block_docs)
+        self.use_pallas = use_pallas
+        self.blocks = []
+        self.block_rows = []
+        for b in range(self.n_blocks):
+            lo, hi = b * block_docs, min((b + 1) * block_docs, n)
+            Xb = Xcsr[lo:hi]
+            if use_pallas:
+                self.blocks.append(ps.pack_chunks(Xb))
+            else:
+                self.blocks.append(sell_ops.pack_sell(Xb, lane=lane))
+            self.block_rows.append((lo, hi))
+
+    def host_bytes(self):
+        total = 0
+        for blk in self.blocks:
+            if self.use_pallas:
+                for side in (blk.word_major, blk.doc_major):
+                    total += side.rows_local.nbytes + side.cols_local.nbytes
+                    total += side.vals.nbytes + side.chunk_i.nbytes
+                    total += side.chunk_j.nbytes + side.first_of_major.nbytes
+            else:
+                for name in ("row_doc", "cols_a", "vals_a", "col_word",
+                             "rows_b", "vals_b", "doc_segs", "word_segs"):
+                    total += getattr(blk, name).nbytes
+        return total
+
+
+def _block_step_fns(use_pallas):
+    """(word_accum, doc_update) closures over device chunk/SELL arrays."""
+    if use_pallas:
+
+        def word_accum(dev, zd_b, wz, w_b, blk):
+            # A numerator contribution of this block: full (m, k), zeros
+            # where the block has no entries
+            zd_p, wzT_p, kp = ps._padded_factors(zd_b, wz, blk.n_pad, blk.m_pad)
+            w_col = jnp.zeros((blk.n_pad, 1), jnp.float32).at[: zd_b.shape[0], 0].set(w_b)
+            a_acc, _ = ps._word_pass(dev["word_major"], zd_p, wzT_p, w_col,
+                                     blk.bd, blk.bw, False, None,
+                                     blk.n_pad, blk.m_pad)
+            return a_acc[: wz.shape[1], : zd_b.shape[1]].T      # (k, m)
+
+        def doc_update(dev, zd_b, wz, w_b, blk):
+            zd_p, wzT_p, kp = ps._padded_factors(zd_b, wz, blk.n_pad, blk.m_pad)
+            w_col = jnp.zeros((blk.n_pad, 1), jnp.float32).at[: zd_b.shape[0], 0].set(w_b)
+            b_acc, ll = ps._doc_pass(dev["doc_major"], zd_p, wzT_p, w_col,
+                                     blk.bd, blk.bw, True, None,
+                                     blk.n_pad, blk.m_pad)
+            b = b_acc[: zd_b.shape[0], : zd_b.shape[1]]
+            num = zd_b * b
+            new_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+            return new_zd, ll
+
+        def ship(blk):
+            return ps.device_chunks(blk)
+
+    else:
+
+        @jax.jit
+        def _word_accum_jit(dev, zd_b, wz, w_b):
+            wzT = wz.T
+            wz_rows = wzT[dev["col_word"]]
+            vals_b = dev["vals_b"] * w_b[dev["rows_b"]]
+            contrib, _ = sell_ops._pass_contrib(wz_rows, dev["rows_b"], vals_b,
+                                                zd_b, None)
+            return sell_ops._segsum_gather(contrib, dev["word_segs"]).T  # (k, m)
+
+        @jax.jit
+        def _doc_update_jit(dev, zd_b, wz, w_b):
+            wzT = wz.T
+            zd_rows = zd_b[dev["row_doc"]]
+            contrib, s = sell_ops._pass_contrib(zd_rows, dev["cols_a"],
+                                                dev["vals_a"], wzT, None)
+            B = sell_ops._segsum_gather(contrib, dev["doc_segs"])
+            num = zd_b * B
+            new_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+            term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
+            ll = (term * w_b[dev["row_doc"]][:, None]).sum()
+            return new_zd, ll
+
+        def word_accum(dev, zd_b, wz, w_b, blk):
+            return _word_accum_jit(dev, zd_b, wz, w_b)
+
+        def doc_update(dev, zd_b, wz, w_b, blk):
+            return _doc_update_jit(dev, zd_b, wz, w_b)
+
+        def ship(blk):
+            return sell_ops.device_arrays(blk)
+
+    return word_accum, doc_update, ship
+
+
+def streamed_fit_core(
+    X,
+    k,
+    sample_weight=None,
+    init="random",
+    block_docs=65536,
+    n_iter=100,
+    n_iter_per_test=10,
+    tolerance=0.001,
+    random_state=None,
+):
+    """Out-of-core EM fit.  Returns ``(zd, wz, n_steps, ll_trace)``.
+
+    Matches the flat fit's trajectory: the convergence schedule, tested LL
+    values, and returned state are the reference's (tests after iteration 1,
+    1+npt, ...; an early stop returns the factors AT the converged test point).
+    """
+    from sklearn.utils import check_random_state
+
+    rng = check_random_state(random_state)
+    use_pallas = _use_pallas()
+    store = _BlockStore(X, block_docs, use_pallas)
+    n, m = store.n, store.m
+
+    pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
+    wz = jnp.asarray(pwz0)
+    zd_blocks = [jnp.asarray(pzd0[lo:hi]) for lo, hi in store.block_rows]
+    weighted = sample_weight is not None and bool(
+        np.any(np.asarray(sample_weight) != 1.0)
+    )
+    w_np = (np.asarray(sample_weight, np.float32) if weighted
+            else np.ones(n, np.float32))
+    w_blocks = [jnp.asarray(w_np[lo:hi]) for lo, hi in store.block_rows]
+
+    word_accum, doc_update, ship = _block_step_fns(use_pallas)
+
+    @jax.jit
+    def finish_wz(wz, a_sum):
+        num = wz * a_sum
+        return num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+
+    # test points per the reference schedule (plsa.py:516-640): after
+    # iteration 1, then every n_iter_per_test
+    npt = max(int(n_iter_per_test), 1)
+    test_points = {1} | {1 + j * npt for j in range(1, int(n_iter) // npt + 1)}
+
+    ll_trace = []
+    prev_ll = None
+    saved = None            # factors checkpoint at the last test point
+    saved_at = None
+    steps_run = 0
+
+    for t in range(1, int(n_iter) + 1):
+        if (t - 1) in test_points:
+            # the LL collected during THIS sweep is LL(state after t-1 iters)
+            saved = ([np.asarray(zb) for zb in zd_blocks], np.asarray(wz))
+            saved_at = t - 1
+        a_sum = jnp.zeros((k, m), jnp.float32)
+        ll_acc = jnp.float32(0.0)
+        for b in range(store.n_blocks):
+            dev = ship(store.blocks[b])    # H2D; async under dispatch
+            a_sum = a_sum + word_accum(dev, zd_blocks[b], wz, w_blocks[b],
+                                       store.blocks[b])
+            zd_blocks[b], ll_b = doc_update(dev, zd_blocks[b], wz,
+                                            w_blocks[b], store.blocks[b])
+            ll_acc = ll_acc + ll_b
+        wz = finish_wz(wz, a_sum)
+        steps_run = t
+
+        if (t - 1) in test_points and t - 1 >= 1:
+            cur = float(ll_acc)            # LL(state_{t-1})
+            ll_trace.append(cur)
+            if prev_ll is not None:
+                change = abs(cur - prev_ll)
+                if change == 0.0 or change / abs(cur) < tolerance:
+                    zd_full = np.vstack(saved[0])
+                    return zd_full, saved[1], saved_at, ll_trace
+            prev_ll = cur
+        elif t == 1:
+            ll_trace.append(float(ll_acc))  # LL(init state), reference's first value
+            prev_ll = float(ll_acc)
+
+    # a test point landing exactly on n_iter needs one more streamed LL pass
+    # (its value would otherwise only be collected by iteration n_iter+1)
+    if int(n_iter) in test_points and steps_run == int(n_iter):
+        ll_acc = jnp.float32(0.0)
+        for b in range(store.n_blocks):
+            dev = ship(store.blocks[b])
+            _, ll_b = doc_update(dev, zd_blocks[b], wz, w_blocks[b],
+                                 store.blocks[b])
+            ll_acc = ll_acc + ll_b
+        ll_trace.append(float(ll_acc))
+
+    zd_full = np.vstack([np.asarray(zb) for zb in zd_blocks])
+    return zd_full, np.asarray(wz), steps_run, ll_trace
+
+
+def streamed_refit_core(
+    X,
+    topics,
+    block_docs=65536,
+    n_iter=50,
+    random_state=None,
+):
+    """Frozen-topic refit, one streaming pass: each block is shipped once and
+    runs all its refit iterations on device (strictly less traffic than the
+    reference's per-iteration re-stream, streamed_plsa.py:701-847)."""
+    from sklearn.utils import check_random_state
+
+    rng = check_random_state(random_state)
+    use_pallas = _use_pallas()
+    store = _BlockStore(X, block_docs, use_pallas)
+    n, m = store.n, store.m
+    k = topics.shape[0]
+    wz = jnp.asarray(np.asarray(topics, np.float32))
+    _, doc_update, ship = _block_step_fns(use_pallas)
+
+    out = np.zeros((n, k), np.float32)
+    for b, (lo, hi) in enumerate(store.block_rows):
+        zb = rng.rand(hi - lo, k).astype(np.float32)
+        zb /= zb.sum(axis=1, keepdims=True)
+        zd_b = jnp.asarray(zb)
+        dev = ship(store.blocks[b])
+        w_b = jnp.ones((hi - lo,), jnp.float32)
+        for _ in range(int(n_iter)):
+            zd_b, _ = doc_update(dev, zd_b, wz, w_b, store.blocks[b])
+        out[lo:hi] = np.asarray(zd_b)
+    return out

@@ -109,8 +109,23 @@ def _pack_one_side(indptr, indices, data, n_rows, lane):
     return owner, idx, val, seg_table
 
 
-def pack_sell(X, lane=DEFAULT_LANE):
-    """Pack a scipy sparse matrix into dual-sorted SELL arrays (host-side)."""
+def _auto_lane(nnz, n_rows):
+    """Segment width near the average row occupancy: wide lanes waste host and
+    device memory on sparse rows (a 1-entry word still owns a full lane row)."""
+    if n_rows == 0:
+        return 8
+    avg = max(nnz // max(n_rows, 1), 1)
+    lane = 8
+    while lane < min(avg, DEFAULT_LANE):
+        lane *= 2
+    return lane
+
+
+def pack_sell(X, lane=None):
+    """Pack a scipy sparse matrix into dual-sorted SELL arrays (host-side).
+
+    ``lane=None`` picks each side's segment width from its average row
+    occupancy (docs/words per row differ by orders of magnitude)."""
     from scipy.sparse import issparse, csr_matrix
 
     if not issparse(X):
@@ -119,18 +134,20 @@ def pack_sell(X, lane=DEFAULT_LANE):
     Xcsr.sum_duplicates()
     n, m = Xcsr.shape
 
+    lane_docs = lane or _auto_lane(Xcsr.nnz, n)
+    lane_words = lane or _auto_lane(Xcsr.nnz, m)
     row_doc, cols_a, vals_a, doc_segs = _pack_one_side(
-        Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane
+        Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane_docs
     )
     Xcsc = Xcsr.tocsc()
     col_word, rows_b, vals_b, word_segs = _pack_one_side(
-        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane
+        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane_words
     )
     return SellSides(
         row_doc=row_doc, cols_a=cols_a, vals_a=vals_a,
         col_word=col_word, rows_b=rows_b, vals_b=vals_b,
         doc_segs=doc_segs, word_segs=word_segs,
-        n=n, m=m, nnz=int(Xcsr.nnz), lane=lane,
+        n=n, m=m, nnz=int(Xcsr.nnz), lane=lane_docs,
     )
 
 
@@ -287,40 +304,100 @@ def device_arrays(sides: SellSides):
 # ---------------------------------------------------------------------------
 
 class PreparedSell:
-    """Device-resident SELL corpus reusable across fits (sparse analog of
-    :class:`enstop_tpu.ops.driver.PreparedCounts`)."""
+    """Device-resident sparse corpus reusable across fits (sparse analog of
+    :class:`enstop_tpu.ops.driver.PreparedCounts`).
 
-    __slots__ = ("dev", "n", "m", "nnz", "lane", "backend")
+    ``kind`` selects the execution layout: ``"sell"`` (XLA gathers/segment
+    sums — the portable path) or ``"chunks"`` (the fused Pallas one-hot-matmul
+    kernels of ops/pallas_sell.py — the TPU path)."""
 
-    def __init__(self, dev, n, m, nnz, lane):
+    __slots__ = ("dev", "n", "m", "nnz", "lane", "backend", "kind", "meta")
+
+    def __init__(self, dev, n, m, nnz, lane, kind="sell", meta=None):
         self.dev = dev
         self.n = n
         self.m = m
         self.nnz = nnz
         self.lane = lane
         self.backend = "sparse"
+        self.kind = kind
+        self.meta = meta
 
     @property
     def shape(self):
         return (self.n, self.m)
 
 
-def prepare_sell(X, lane=DEFAULT_LANE, standardize=True):
-    """Pack + ship a corpus once for repeated sparse fits."""
+def prepare_sell(X, lane=None, standardize=True, kind="auto"):
+    """Pack + ship a corpus once for repeated sparse fits.
+
+    ``kind="auto"`` uses the fused Pallas chunk kernels on TPU and the XLA
+    SELL layout elsewhere."""
     if standardize:
         from ..utils import standardize_input
 
         X = standardize_input(X)
+    if kind == "auto":
+        kind = "chunks" if jax.default_backend() == "tpu" else "sell"
+    if kind == "chunks":
+        from . import pallas_sell as ps
+
+        ch = ps.pack_chunks(X)
+        return PreparedSell(
+            ps.device_chunks(ch), ch.n, ch.m, ch.nnz, ch.chunk,
+            kind="chunks", meta=(ch.bd, ch.bw, ch.n_pad, ch.m_pad),
+        )
     sides = pack_sell(X, lane=lane)
-    return PreparedSell(device_arrays(sides), sides.n, sides.m, sides.nnz, sides.lane)
+    return PreparedSell(device_arrays(sides), sides.n, sides.m, sides.nnz,
+                        sides.lane, kind="sell")
 
 
 @lru_cache(maxsize=32)
-def _build_sell_fit(refit, thresholded, segsum, dev_struct):
-    """One compiled while-loop program per (refit, thresholded, segsum,
-    dev-array-shapes); iteration counts / tolerance / thresh are traced."""
+def _build_sell_fit(refit, thresholded, segsum, dev_struct, kind="sell",
+                    thresh_value=None, meta=None):
+    """One compiled while-loop program per (refit, thresholded, segsum/kind,
+    dev-array-shapes); iteration counts / tolerance are traced.  For the
+    Pallas chunk kind the threshold is baked statically (one program per
+    distinct threshold — in practice 1e-16 and "off")."""
     del dev_struct  # only keys the cache on array shapes
     from .fit import em_fit_loop
+
+    if kind == "chunks":
+        from . import pallas_sell as ps
+
+        bd, bw, n_pad, m_pad = meta
+        th = thresh_value if thresholded else None
+
+        @jax.jit
+        def run(dev, zd, wz, w, thresh, tol, n_iter, npt):
+            if refit:
+                def step(state):
+                    new_zd, ll = ps.refit_step_chunks(
+                        dev, state[0], state[1], w=w, thresh=th,
+                        compute_ll=False, bd=bd, bw=bw,
+                        n_pad=n_pad, m_pad=m_pad,
+                    )
+                    return (new_zd, state[1]), ll
+            else:
+                def step(state):
+                    new_zd, new_wz, ll = ps.em_step_chunks(
+                        dev, state[0], state[1], w=w, thresh=th,
+                        compute_ll=False, bd=bd, bw=bw,
+                        n_pad=n_pad, m_pad=m_pad,
+                    )
+                    return (new_zd, new_wz), ll
+
+            def ll_of(state):
+                return ps.log_likelihood_chunks(
+                    dev, state[0], state[1], w=w, bd=bd, bw=bw,
+                    n_pad=n_pad, m_pad=m_pad,
+                )
+
+            res = em_fit_loop(step, ll_of, (zd, wz), n_iter, npt, tol)
+            return (res.state[0], res.state[1], res.n_steps, res.final_ll,
+                    res.ll_trace, res.n_tests)
+
+        return run
 
     @jax.jit
     def run(dev, zd, wz, w, thresh, tol, n_iter, npt):
@@ -351,7 +428,12 @@ def _build_sell_fit(refit, thresholded, segsum, dev_struct):
 
 
 def _dev_struct(dev):
-    return tuple(sorted((k, v.shape, str(v.dtype)) for k, v in dev.items()))
+    def item(v):
+        if isinstance(v, dict):
+            return _dev_struct(v)
+        return (v.shape, str(v.dtype))
+
+    return tuple(sorted((k, item(v)) for k, v in dev.items()))
 
 
 # The fast paths document e_step_thresh <= this as a numerical no-op; above it
@@ -373,7 +455,11 @@ def sell_fit(
     """EM fit on a prepared SELL corpus.  Returns
     ``(zd, wz, n_steps, final_ll, ll_trace, n_tests)`` (device arrays)."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    run = _build_sell_fit(False, thresholded, segsum, _dev_struct(prep.dev))
+    run = _build_sell_fit(
+        False, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
+        thresh_value=float(e_step_thresh) if thresholded else None,
+        meta=prep.meta,
+    )
     w = (jnp.asarray(np.asarray(sample_weight, np.float32))
          if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
     return run(
@@ -396,7 +482,11 @@ def sell_refit(
 ):
     """Frozen-topics refit on a prepared SELL corpus; returns the same tuple."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    run = _build_sell_fit(True, thresholded, segsum, _dev_struct(prep.dev))
+    run = _build_sell_fit(
+        True, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
+        thresh_value=float(e_step_thresh) if thresholded else None,
+        meta=prep.meta,
+    )
     w = (jnp.asarray(np.asarray(sample_weight, np.float32))
          if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
     return run(

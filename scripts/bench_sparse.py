@@ -58,11 +58,40 @@ def bench_dense(X, k, iters=30):
     return dt
 
 
+def bench_pallas_sparse(X, k, iters=30, bd=512, bw=512, chunk=None):
+    from enstop_tpu.ops import pallas_sell as ps
+    from enstop_tpu.ops.init import plsa_init
+
+    t0 = time.time()
+    ch = ps.pack_chunks(X, bd=bd, bw=bw, chunk=chunk)
+    dev = ps.device_chunks(ch)
+    pack_t = time.time() - t0
+    waste = ch.word_major.rows_local.size / max(ch.nnz, 1)
+    print(f"#  pack {pack_t:.1f}s, chunk={ch.chunk}, fill 1/{waste:.2f}", flush=True)
+    zd, wz = plsa_init(X, k, rng=np.random.RandomState(1))
+    zd, wz = jnp.asarray(zd), jnp.asarray(wz)
+
+    @jax.jit
+    def step(dev, zd, wz):
+        # dev passed as an ARG: closing over it would embed the chunk arrays
+        # as constants in the HLO (hundreds of MB -> remote-compile 413s)
+        return ps.em_step_chunks(dev, zd, wz, compute_ll=False, bd=bd, bw=bw,
+                                 n_pad=ch.n_pad, m_pad=ch.m_pad)
+
+    z, w, _ = step(dev, zd, wz); _ = np.asarray(z)
+    t0 = time.time()
+    z, w = zd, wz
+    for _ in range(iters):
+        z, w, _ = step(dev, z, w)
+    _ = np.asarray(z)
+    return (time.time() - t0) / iters
+
+
 def bench_sparse(X, k, segsum, iters=30):
     from enstop_tpu.ops.sell import prepare_sell, em_step_sell
     from enstop_tpu.ops.init import plsa_init
 
-    prep = prepare_sell(X, standardize=False)
+    prep = prepare_sell(X, standardize=False, kind="sell")
     zd, wz = plsa_init(X, k, rng=np.random.RandomState(1))
     zd, wz = jnp.asarray(zd), jnp.asarray(wz)
 
@@ -93,21 +122,21 @@ def main():
     X = synth(18846, 25000, 2_200_000)
     print(f"#  nnz={X.nnz}", flush=True)
     report("dense fused", bench_dense(X, K), X.nnz, K)
-    for ss in ("gather", "scatter"):
-        report(f"sparse SELL ({ss})", bench_sparse(X, K, ss), X.nnz, K)
+    report("sparse pallas chunks", bench_pallas_sparse(X, K), X.nnz, K)
+    report("sparse SELL (scatter)", bench_sparse(X, K, "scatter"), X.nnz, K)
 
     print("== B. 10x sparser, 141k vocab (density 0.078%) ==", flush=True)
     X = synth(20000, 141000, 2_200_000)
     print(f"#  nnz={X.nnz}", flush=True)
     report("dense fused", bench_dense(X, K), X.nnz, K)
-    for ss in ("gather", "scatter"):
-        report(f"sparse SELL ({ss})", bench_sparse(X, K, ss), X.nnz, K)
+    report("sparse pallas chunks", bench_pallas_sparse(X, K), X.nnz, K)
+    report("sparse SELL (scatter)", bench_sparse(X, K, "scatter"), X.nnz, K)
 
     print("== C. sparse-only scale: 250k x 141k, nnz 25M ==", flush=True)
     X = synth(250_000, 141_000, 25_000_000)
     print(f"#  nnz={X.nnz}  dense-bf16-would-be={X.shape[0]*X.shape[1]*2/1e9:.0f} GB",
           flush=True)
-    report("sparse SELL (gather)", bench_sparse(X, K, "gather", iters=10), X.nnz, K)
+    report("sparse pallas chunks", bench_pallas_sparse(X, K, iters=10), X.nnz, K)
 
 
 if __name__ == "__main__":

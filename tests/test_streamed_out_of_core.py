@@ -1,0 +1,109 @@
+"""Out-of-core guarantees for the streamed path (VERDICT round-2 item 2).
+
+The round-1 implementation cached every densified block in host RAM (O(n·m));
+these tests pin the new contract: host memory O(nnz), a corpus whose DENSE
+form far exceeds a set budget fits within that budget, and the trajectory
+matches the flat fit exactly.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from conftest import make_corpus
+from enstop_tpu.models.streamed_core import _BlockStore, streamed_fit_core
+from enstop_tpu.ops.driver import plsa_fit
+
+
+def test_host_memory_is_o_nnz():
+    """The packed block store must cost O(nnz), not O(n*m)."""
+    rng = np.random.RandomState(0)
+    n, m = 20000, 30000
+    X = sp.random(n, m, density=2e-4, random_state=rng, format="csr",
+                  dtype=np.float32)
+    X.data[:] = 1.0
+    store = _BlockStore(X, block_docs=4096, use_pallas=False)
+    dense_bytes = n * m * 4
+    stored = store.host_bytes()
+    # generous factor for padding/segment tables; the point is the ORDER
+    assert stored < dense_bytes / 50, (
+        f"store {stored/1e6:.1f} MB vs dense {dense_bytes/1e6:.0f} MB"
+    )
+    # measured ~66 B/nnz on this fixture (lane padding on 1-entry word rows)
+    assert stored < 100 * X.nnz
+
+
+def test_streamed_trajectory_matches_flat_fit():
+    """Same init => the streamed fit reproduces the flat fit's LL trajectory,
+    step count, and factors (the reference's cross-variant equivalence)."""
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=41,
+                                  n_docs=90, n_words=120))
+    k, n_iter, npt, tol = 4, 25, 5, 0.01
+
+    zd_flat, wz_flat, info = plsa_fit(
+        X, k, backend="xla", n_iter=n_iter, n_iter_per_test=npt,
+        tolerance=tol, random_state=7, return_info=True,
+    )
+    zd_s, wz_s, steps_s, trace_s = streamed_fit_core(
+        X, k, block_docs=32, n_iter=n_iter, n_iter_per_test=npt,
+        tolerance=tol, random_state=7,
+    )
+    assert steps_s == info["n_steps"]
+    np.testing.assert_allclose(np.asarray(trace_s), info["ll_trace"], rtol=1e-4)
+    np.testing.assert_allclose(zd_s, zd_flat, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(wz_s, wz_flat, rtol=5e-3, atol=1e-5)
+
+
+def test_streamed_weighted_matches_flat_fit():
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=43,
+                                  n_docs=70, n_words=90))
+    w = np.random.RandomState(5).uniform(0.3, 2.5, X.shape[0]).astype(np.float32)
+    k = 3
+    zd_flat, wz_flat = plsa_fit(X, k, sample_weight=w, backend="xla",
+                                n_iter=12, random_state=3)
+    zd_s, wz_s, _, _ = streamed_fit_core(
+        X, k, sample_weight=w, block_docs=24, n_iter=12, random_state=3,
+    )
+    np.testing.assert_allclose(zd_s, zd_flat, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(wz_s, wz_flat, rtol=5e-3, atol=1e-5)
+
+
+_RSS_SCRIPT = r"""
+import json, resource, sys
+import numpy as np, scipy.sparse as sp
+import jax; jax.config.update("jax_platforms", "cpu")
+
+n, m = 60000, 50000           # dense f32 would be 12 GB
+rng = np.random.RandomState(0)
+nnz = 800_000
+rows = rng.randint(0, n, nnz); cols = rng.randint(0, m, nnz)
+X = sp.coo_matrix((np.ones(nnz, np.float32), (rows, cols)), shape=(n, m)).tocsr()
+X.sum_duplicates()
+
+from enstop_tpu.models.streamed_core import streamed_fit_core
+zd, wz, steps, trace = streamed_fit_core(
+    X, 5, block_docs=8192, n_iter=2, n_iter_per_test=10, random_state=0)
+peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(json.dumps({"peak_mb": peak_mb, "steps": steps,
+                  "finite": bool(np.isfinite(wz).all() and np.isfinite(zd).all()),
+                  "dense_gb": n * m * 4 / 1e9}))
+"""
+
+
+@pytest.mark.slow
+def test_dense_exceeding_corpus_fits_in_budget(tmp_path):
+    """Fit a corpus whose dense form is 12 GB inside a 4 GB host budget: the
+    O(n*m) round-1 implementation dies here; O(nnz) passes easily."""
+    out = subprocess.run(
+        [sys.executable, "-"], input=_RSS_SCRIPT, capture_output=True,
+        text=True, timeout=900, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["finite"] and payload["steps"] == 2
+    assert payload["dense_gb"] > 10
+    assert payload["peak_mb"] < 4096, f"peak RSS {payload['peak_mb']:.0f} MB"
