@@ -41,7 +41,10 @@ _TINY = 1e-30
 
 
 def _use_pallas():
-    return jax.default_backend() == "tpu"
+    # the XLA SELL block ops measure as fast or faster than the Pallas chunk
+    # kernels on TPU (see ops/sell.py:prepare_sell) and have no chunk-count
+    # ceiling; keep the chunk path available for experimentation
+    return False
 
 
 class _BlockStore:

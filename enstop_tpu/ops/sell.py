@@ -338,7 +338,12 @@ def prepare_sell(X, lane=None, standardize=True, kind="auto"):
 
         X = standardize_input(X)
     if kind == "auto":
-        kind = "chunks" if jax.default_backend() == "tpu" else "sell"
+        # measured on v5e (scripts/bench_sparse.py): with adaptive lanes the
+        # XLA SELL path matches or beats the Pallas chunk kernels (20.5 vs
+        # 22.8 ms at 20NG shape, 23 vs 88 ms at 141k vocab) and has no SMEM
+        # scalar-prefetch ceiling (the chunk kernels top out ~100k chunks);
+        # chunks stay available via kind="chunks"
+        kind = "sell"
     if kind == "chunks":
         from . import pallas_sell as ps
 

@@ -132,11 +132,19 @@ def main():
     report("sparse pallas chunks", bench_pallas_sparse(X, K), X.nnz, K)
     report("sparse SELL (scatter)", bench_sparse(X, K, "scatter"), X.nnz, K)
 
+    print("== D. 30x sparser than 20NG: 20k x 500k vocab (density 0.016%) ==",
+          flush=True)
+    X = synth(20000, 500_000, 2_200_000)
+    print(f"#  nnz={X.nnz}  dense-bf16-would-be={X.shape[0]*X.shape[1]*2/1e9:.0f} GB"
+          " (> HBM: dense cannot run)", flush=True)
+    report("sparse SELL (scatter)", bench_sparse(X, K, "scatter"), X.nnz, K)
+    report("sparse SELL (gather)", bench_sparse(X, K, "gather"), X.nnz, K)
+
     print("== C. sparse-only scale: 250k x 141k, nnz 25M ==", flush=True)
     X = synth(250_000, 141_000, 25_000_000)
     print(f"#  nnz={X.nnz}  dense-bf16-would-be={X.shape[0]*X.shape[1]*2/1e9:.0f} GB",
           flush=True)
-    report("sparse pallas chunks", bench_pallas_sparse(X, K, iters=10), X.nnz, K)
+    report("sparse SELL (scatter)", bench_sparse(X, K, "scatter", iters=10), X.nnz, K)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,119 @@
+"""Behavioral gates for the mini-UMAP (VERDICT round-2 item 6).
+
+umap-learn is not installable in this environment, so instead of golden
+embeddings the gates pin the *properties the ensemble pipeline relies on*
+(reference enstop_.py:385-394: 5D Hellinger UMAP -> HDBSCAN -> merged topics):
+
+* neighborhood preservation — sklearn's trustworthiness of the embedding
+  w.r.t. the input metric must be high (umap-learn's embeddings are);
+* the full hellinger_umap combiner must recover the TRUE number of stable
+  topic groups across seeds, group counts, and duplication levels — the
+  end-to-end behavior the reference pipeline exhibits on ensemble stacks;
+* determinism given random_state.
+"""
+
+import numpy as np
+import pytest
+
+from sklearn.manifold import trustworthiness
+
+from enstop_tpu.cluster.distances import all_pairs_hellinger_distance
+from enstop_tpu.cluster.umap import umap_embed
+from enstop_tpu.models.ensemble import generate_combined_topics_hellinger_umap
+
+
+def _topic_stack(seed, n_groups, copies, n_words=80, noise=0.01):
+    """Ensemble-like stack: n_groups latent topics, `copies` noisy repeats each
+    (what n_runs bootstrap fits produce)."""
+    rng = np.random.RandomState(seed)
+    protos = rng.dirichlet(np.full(n_words, 0.15), size=n_groups)
+    rows = []
+    for i in range(n_groups * copies):
+        q = np.abs(protos[i % n_groups] + rng.randn(n_words) * noise)
+        rows.append(q / q.sum())
+    return np.asarray(rows, dtype=np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_embedding_trustworthiness(seed):
+    """The 5D embedding must preserve Hellinger neighborhoods (trustworthiness
+    close to 1 on structured data — the property HDBSCAN depends on)."""
+    T = _topic_stack(seed, n_groups=5, copies=10)
+    dmat = np.asarray(all_pairs_hellinger_distance(T), dtype=np.float64)
+    dmat = (dmat + dmat.T) / 2
+    np.fill_diagonal(dmat, 0)
+    emb = umap_embed(dmat=dmat, n_components=5, n_neighbors=10,
+                     random_state=seed)
+    tw = trustworthiness(dmat, emb, n_neighbors=8, metric="precomputed")
+    assert tw > 0.9, f"trustworthiness {tw:.3f}"
+
+
+@pytest.mark.parametrize("seed,n_groups,copies", [
+    (0, 4, 12), (1, 6, 8), (2, 3, 16), (3, 8, 6), (4, 5, 10),
+])
+def test_combiner_recovers_groups(seed, n_groups, copies):
+    """End-to-end hellinger_umap combiner on ensemble-like stacks: every
+    latent group must be recovered by a close stable topic.  Leaf selection
+    (the reference's choice) may split a noisy group into sub-leaves, so the
+    count gate is a band, not an equality — over-splits must stay bounded and
+    every stable topic must sit close to a true prototype."""
+    T = _topic_stack(seed, n_groups, copies)
+    stable = generate_combined_topics_hellinger_umap(
+        T, min_samples=3, min_cluster_size=4, random_state=seed,
+    )
+    found = stable.shape[0]
+    assert n_groups <= found <= 2 * n_groups, (
+        f"found {found} stable topics, expected ~{n_groups}"
+    )
+    np.testing.assert_allclose(stable.sum(axis=1), 1.0, rtol=1e-5)
+    rng = np.random.RandomState(seed)
+    protos = rng.dirichlet(np.full(T.shape[1], 0.15), size=n_groups)
+    protos = protos / protos.sum(1, keepdims=True)
+    d = np.sqrt(((np.sqrt(stable[:, None, :]) - np.sqrt(protos[None, :, :])) ** 2
+                 ).sum(-1)) / np.sqrt(2)
+    # every prototype covered by some stable topic, and every stable topic is
+    # near a prototype (no junk topics).  The sqrt-mean-square merge over noisy
+    # copies lands ~0.34 Hellinger from the latent proto on this fixture;
+    # random topic pairs sit ~0.8+ — the gate separates the two regimes.
+    assert d.min(axis=0).max() < 0.45, "a latent group was not recovered"
+    assert d.min(axis=1).max() < 0.45, "a stable topic matches no latent group"
+    # and all groups are covered through nearest-proto assignment
+    assert set(d.argmin(axis=1).tolist()) == set(range(n_groups))
+
+
+def test_combiner_exact_count_when_well_separated():
+    """With tight groups and modest duplication the combiner must find exactly
+    the latent count."""
+    T = _topic_stack(21, 5, 8, noise=0.004)
+    stable = generate_combined_topics_hellinger_umap(
+        T, min_samples=3, min_cluster_size=4, random_state=0,
+    )
+    assert stable.shape[0] == 5, f"found {stable.shape[0]}"
+
+
+def test_embedding_deterministic():
+    T = _topic_stack(7, 4, 10)
+    dmat = np.asarray(all_pairs_hellinger_distance(T), dtype=np.float64)
+    dmat = (dmat + dmat.T) / 2
+    np.fill_diagonal(dmat, 0)
+    e1 = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=42)
+    e2 = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=42)
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_embedding_separates_groups_better_than_noise():
+    """Within-group embedding distances must be far below between-group ones
+    (the separation HDBSCAN leaf selection needs)."""
+    T = _topic_stack(11, 5, 10)
+    labels = np.arange(50) % 5
+    dmat = np.asarray(all_pairs_hellinger_distance(T), dtype=np.float64)
+    dmat = (dmat + dmat.T) / 2
+    np.fill_diagonal(dmat, 0)
+    emb = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=0)
+    diff = emb[:, None, :] - emb[None, :, :]
+    ed = np.sqrt((diff ** 2).sum(-1))
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(50, dtype=bool)
+    within = ed[same & off_diag].mean()
+    between = ed[~same].mean()
+    assert between > 3 * within, f"between {between:.3f} vs within {within:.3f}"
