@@ -96,14 +96,15 @@ def bench_sparse(X, k, segsum, iters=30):
     zd, wz = jnp.asarray(zd), jnp.asarray(wz)
 
     @jax.jit
-    def step(zd, wz):
-        return em_step_sell(prep.dev, zd, wz, compute_ll=False, segsum=segsum)
+    def step(dev, zd, wz):
+        # dev as an ARG, not a closure (closures embed GB-scale constants)
+        return em_step_sell(dev, zd, wz, compute_ll=False, segsum=segsum)
 
-    z, w, _ = step(zd, wz); _ = np.asarray(z)
+    z, w, _ = step(prep.dev, zd, wz); _ = np.asarray(z)
     t0 = time.time()
     z, w = zd, wz
     for _ in range(iters):
-        z, w, _ = step(z, w)
+        z, w, _ = step(prep.dev, z, w)
     _ = np.asarray(z)
     dt = (time.time() - t0) / iters
     return dt
