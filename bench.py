@@ -83,7 +83,7 @@ def main():
     # any production use that fits more than once on a corpus
     prep = prepare_counts(X)
     backend = resolve_backend("auto")
-    em_step, _, ll_fn = _get_steps(backend, precision="default")
+    em_step, _, ll_fn, em_step_ll = _get_steps(backend, precision="default")
 
     Xd = prep.device_array
     zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
@@ -101,11 +101,18 @@ def main():
             new_zd, new_wz, _ll = em_step(X, s[0], s[1], sample_weight=w)
             return (new_zd, new_wz)
 
-        zd, wz = jax.lax.fori_loop(0, n, body, (zd, wz))
-        # LL of the post-chunk state: the reference's convergence-test value
-        # (n == 0 gives the initial LL), computed in the same dispatch — each
-        # host round-trip costs ~10ms of tunnel latency here.
-        return zd, wz, ll_fn(X, zd, wz, sample_weight=w)
+        zd, wz = jax.lax.fori_loop(0, jnp.maximum(n - 1, 0), body, (zd, wz))
+        # the last step of the chunk carries the convergence-test LL out for
+        # free (same fold the estimator fit loop uses, ops/fit.py:
+        # em_fit_loop_folded) — no separate LL sweep over X
+        def fold(s):
+            return em_step_ll(X, s[0], s[1], sample_weight=w)
+
+        def skip(s):
+            return s[0], s[1], ll_fn(X, s[0], s[1], sample_weight=w)
+
+        zd, wz, ll = jax.lax.cond(n >= 1, fold, skip, (zd, wz))
+        return zd, wz, ll
 
     # warm-up / compile
     print("# compiling step program (one-off; minutes under this environment's "

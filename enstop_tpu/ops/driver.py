@@ -53,16 +53,25 @@ def _get_steps(backend, precision="highest"):
             em_ops.em_step_dense,
             em_ops.refit_step_dense,
             em_ops.log_likelihood_dense,
+            em_ops.em_step_dense,  # already returns LL of the input state
         )
     if backend == "pallas":
         from . import pallas_em
 
-        # The loop only consults LL at test points (via the dedicated LL kernel),
-        # so the per-iteration step skips the transcendental log sweep.
+        # The loop only consults LL at test points; at those points the test
+        # value is FOLDED into the step kernel (compute_ll=True on the
+        # boundary step — see em_fit_loop_folded), so the per-iteration step
+        # skips the transcendental log sweep and no separate LL pass runs.
         def em(X, zd, wz, sample_weight=None):
             return pallas_em.em_step_fused(
                 X, zd, wz, sample_weight=sample_weight,
                 compute_ll=False, precision=precision,
+            )
+
+        def em_ll(X, zd, wz, sample_weight=None):
+            return pallas_em.em_step_fused(
+                X, zd, wz, sample_weight=sample_weight,
+                compute_ll=True, precision=precision,
             )
 
         def refit(X, zd, wz, sample_weight=None):
@@ -76,7 +85,7 @@ def _get_steps(backend, precision="highest"):
                 X, zd, wz, sample_weight=sample_weight, precision=precision
             )
 
-        return em, refit, ll
+        return em, refit, ll, em_ll
     raise ValueError("Unrecognized backend {!r}".format(backend))
 
 
@@ -89,25 +98,34 @@ def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
     the Pallas kernels — its compile is expensive, especially under remote
     compilation)."""
     del weighted  # unified: w == ones reproduces the unweighted math exactly
-    em_step, refit_step, ll_fn = _get_steps(backend, precision)
+    from .fit import em_fit_loop_folded
+
+    em_step, refit_step, ll_fn, em_step_ll = _get_steps(backend, precision)
 
     @jax.jit
     def run(X, zd, wz, w, tol, n_iter, n_iter_per_test):
         sw = w
 
+        def ll_of(state):
+            return ll_fn(X, state[0], state[1], sample_weight=sw)
+
         if refit:
             def step(state):
                 new_zd, ll = refit_step(X, state[0], state[1], sample_weight=sw)
                 return (new_zd, state[1]), ll
+
+            res = em_fit_loop(step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol)
         else:
             def step(state):
                 new_zd, new_wz, ll = em_step(X, state[0], state[1], sample_weight=sw)
                 return (new_zd, new_wz), ll
 
-        def ll_of(state):
-            return ll_fn(X, state[0], state[1], sample_weight=sw)
+            def step_ll(state):
+                new_zd, new_wz, ll = em_step_ll(X, state[0], state[1], sample_weight=sw)
+                return (new_zd, new_wz), ll
 
-        res = em_fit_loop(step, ll_of, (zd, wz), n_iter, n_iter_per_test, tol)
+            res = em_fit_loop_folded(step_ll, step, ll_of, (zd, wz),
+                                     n_iter, n_iter_per_test, tol)
         return res.state[0], res.state[1], res.n_steps, res.final_ll, res.ll_trace, res.n_tests
 
     return run

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -104,3 +105,94 @@ def em_fit_loop_traced(em_step, ll_fn, state0, n_iter, n_iter_per_test, toleranc
     """Back-compat shim: returns ``(state, n_steps, lls, n_tests)``."""
     res = em_fit_loop(em_step, ll_fn, state0, n_iter, n_iter_per_test, tolerance)
     return res.state, res.n_steps, res.ll_trace, res.n_tests
+
+
+def em_fit_loop_folded(em_step_ll, em_step, ll_fn, state0, n_iter,
+                       n_iter_per_test, tolerance):
+    """:func:`em_fit_loop` with the convergence log-likelihood FOLDED into the
+    EM step: every EM pass computes S = P(z|d)P(w|z) anyway, so the step kernel
+    can return LL(input state) for free (``em_step_ll``), and the test value
+    LL(state_T) is produced by running step T+1 with the fold on — no separate
+    LL sweep over the data (measured ~3% of fit time at 20NG scale).
+
+    Exact trajectory parity with :func:`em_fit_loop`: identical test schedule,
+    identical tested values, and on early convergence the returned state is
+    state_T (the fold's T+1-th step is discarded), with ``n_steps = T``.  The
+    standalone ``ll_fn`` is used only when a test point lands exactly on
+    ``n_iter`` (no T+1 step may run) — at most one sweep per fit.
+
+    Parameters: ``em_step_ll(state) -> (state', ll_of_input)``,
+    ``em_step(state) -> (state', ignored)``, ``ll_fn(state) -> scalar``.
+    """
+    n_iter = jnp.asarray(n_iter, jnp.int32)
+    npt = jnp.maximum(jnp.asarray(n_iter_per_test, jnp.int32), 1)
+    tolerance = jnp.float32(tolerance)
+
+    # first step carries LL(state0) out for free
+    state1, ll0 = em_step_ll(state0)
+    trace0 = jnp.full((MAX_LL_TRACE,), jnp.nan, jnp.float32).at[0].set(ll0)
+
+    def cond(carry):
+        state, saved, done, steps_rep, next_tp, prev, trace, t, converged = carry
+        return jnp.logical_and(
+            jnp.logical_not(converged),
+            jnp.logical_or(done < n_iter, next_tp <= n_iter),
+        )
+
+    def body(carry):
+        state, saved, done, steps_rep, next_tp, prev, trace, t, converged = carry
+
+        def to_test(_):
+            T = next_tp
+
+            def plain(_, s):
+                s2, _ll = em_step(s)
+                return s2
+
+            state_T = lax.fori_loop(0, T - done, plain, state)
+
+            def fold(sT):
+                s_next, llT = em_step_ll(sT)
+                return s_next, llT, T + 1
+
+            def sweep(sT):
+                return sT, ll_fn(sT), T
+
+            s_after, llT, new_done = lax.cond(T < n_iter, fold, sweep, state_T)
+
+            change = jnp.abs(llT - prev)
+            conv = jnp.logical_or(change == 0.0, change / jnp.abs(llT) < tolerance)
+            record = t < MAX_LL_TRACE
+            new_trace = jnp.where(
+                record, trace.at[jnp.minimum(t, MAX_LL_TRACE - 1)].set(llT), trace
+            )
+            new_t = jnp.where(record, t + 1, t)
+            # on convergence the reference stops AT the test point
+            return (s_after, state_T, new_done, jnp.where(conv, T, new_done),
+                    T + npt, llT, new_trace, new_t, conv)
+
+        def to_cap(_):
+            def plain(_, s):
+                s2, _ll = em_step(s)
+                return s2
+
+            s_end = lax.fori_loop(0, n_iter - done, plain, state)
+            return (s_end, saved, n_iter, n_iter, next_tp, prev, trace, t,
+                    converged)
+
+        return lax.cond(next_tp <= n_iter, to_test, to_cap, None)
+
+    init = (state1, state0, jnp.int32(1), jnp.int32(1), jnp.int32(1), ll0,
+            trace0, jnp.int32(1), jnp.asarray(False))
+    state, saved, done, steps_rep, next_tp, prev, trace, t, converged = (
+        lax.while_loop(cond, body, init)
+    )
+    final_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(converged, a, b), saved, state
+    )
+    # n_iter == 0: the unconditional first fold-step must not surface
+    final_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(n_iter == 0, a, b), state0, final_state
+    )
+    steps_rep = jnp.minimum(steps_rep, n_iter)
+    return FitResult(final_state, steps_rep, prev, trace, t)

@@ -1,0 +1,52 @@
+"""End-to-end EnsembleTopics timing at 20NG scale (BASELINE.md <10 s target).
+
+Measures the full user-visible pipeline — staging (densify + H2D) included —
+for the flagship configuration (k=20, 16 bootstraps), warm (kernels compiled
+by a prior throwaway fit, as any production service would be).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+import numpy as np
+
+
+def main():
+    import jax
+
+    from bench import synthetic_20ng
+    from enstop_tpu import EnsembleTopics
+
+    print("# backend:", jax.default_backend(), file=sys.stderr, flush=True)
+    X = synthetic_20ng()
+    print(f"# corpus: {X.shape}, nnz={X.nnz}", file=sys.stderr, flush=True)
+
+    # compile warmup on a small slice (production services fit more than once;
+    # the loop programs are shape-stable so this compiles everything)
+    t0 = time.time()
+    EnsembleTopics(n_components=20, n_starts=2, n_iter=10,
+                   random_state=0).fit(X[:2048])
+    print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    # the small-slice fit compiles different X shapes; warm the full-shape
+    # programs too with a single-start fit
+    t0 = time.time()
+    EnsembleTopics(n_components=20, n_starts=1, n_iter=10, random_state=0).fit(X)
+    print(f"# full-shape warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    stages = {}
+    t0 = time.time()
+    model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
+                           random_state=42).fit(X)
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": "ensemble_e2e_wall_s_20ng_k20_16runs",
+        "value": round(wall, 2),
+        "n_components_": int(model.n_components_),
+        "reference_wall_s": 183.0,
+        "speedup": round(183.0 / wall, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,6 @@ def main():
     X = synth(20000, 500_000, 2_200_000)
     print(f"#  nnz={X.nnz}  dense-bf16-would-be={X.shape[0]*X.shape[1]*2/1e9:.0f} GB (> HBM)", flush=True)
     report("sparse SELL (scatter)", bench_sparse(X, K, "scatter"), X.nnz, K)
-    report("sparse SELL (gather)", bench_sparse(X, K, "gather"), X.nnz, K)
     print("== C. 250k x 141k, nnz 19M (dense 70 GB) ==", flush=True)
     X = synth(250_000, 141_000, 25_000_000)
     print(f"#  nnz={X.nnz}", flush=True)
