@@ -79,7 +79,9 @@ class _BlockStore:
             else:
                 for name in ("row_doc", "cols_a", "vals_a", "col_word",
                              "rows_b", "vals_b", "doc_segs", "word_segs"):
-                    total += getattr(blk, name).nbytes
+                    arr = getattr(blk, name)
+                    if arr is not None:
+                        total += arr.nbytes
         return total
 
 
@@ -120,7 +122,8 @@ def _block_step_fns(use_pallas):
             vals_b = dev["vals_b"] * w_b[dev["rows_b"]]
             contrib, _ = sell_ops._pass_contrib(wz_rows, dev["rows_b"], vals_b,
                                                 zd_b, None)
-            return sell_ops._segsum_gather(contrib, dev["word_segs"]).T  # (k, m)
+            return sell_ops._segsum_scatter(
+                contrib, dev["col_word"], wz.shape[1]).T  # (k, m)
 
         @jax.jit
         def _doc_update_jit(dev, zd_b, wz, w_b):
@@ -128,7 +131,7 @@ def _block_step_fns(use_pallas):
             zd_rows = zd_b[dev["row_doc"]]
             contrib, s = sell_ops._pass_contrib(zd_rows, dev["cols_a"],
                                                 dev["vals_a"], wzT, None)
-            B = sell_ops._segsum_gather(contrib, dev["doc_segs"])
+            B = sell_ops._segsum_scatter(contrib, dev["row_doc"], zd_b.shape[0])
             num = zd_b * B
             new_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
             term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))

@@ -71,12 +71,14 @@ class SellSides:
             setattr(self, k, v)
 
 
-def _pack_one_side(indptr, indices, data, n_rows, lane):
+def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
     """Split each CSR row's nonzeros into ``lane``-wide segments.
 
-    Returns ``(owner (R,), idx (R, L), val (R, L), seg_table (n_rows, S))``
-    where ``seg_table[d]`` lists the segment rows belonging to ``d`` (padded
-    with ``R`` — one past the end, pointing at an implicit zero row).
+    Returns ``(owner (R,), idx (R, L), val (R, L), seg_table)``.  The
+    gather-form ``seg_table (n_rows, S)`` (padded with ``R``) is built only on
+    request: its width is the MAX segments of any row, which explodes on
+    Zipf-skewed sides (one 1.5M-entry word -> a 141k x 12k table); the scatter
+    segment-sum needs no table and is the default.
     """
     nnz_r = np.diff(indptr).astype(np.int64)
     segs_r = -(-nnz_r // lane)  # ceil; 0 for empty rows
@@ -98,6 +100,8 @@ def _pack_one_side(indptr, indices, data, n_rows, lane):
         idx[seg_row, lane_pos] = indices.astype(np.int32)
         val[seg_row, lane_pos] = data.astype(np.float32)
 
+    if not build_table:
+        return owner, idx, val, None
     # gather-form segment table: seg_table[d, j] = j-th segment row of d, else R_pad
     S = max(int(segs_r.max()) if R else 1, 1)
     seg_table = np.full((n_rows, S), R_pad, np.int32)
@@ -121,11 +125,13 @@ def _auto_lane(nnz, n_rows):
     return lane
 
 
-def pack_sell(X, lane=None):
+def pack_sell(X, lane=None, build_tables=False):
     """Pack a scipy sparse matrix into dual-sorted SELL arrays (host-side).
 
     ``lane=None`` picks each side's segment width from its average row
-    occupancy (docs/words per row differ by orders of magnitude)."""
+    occupancy (docs/words per row differ by orders of magnitude).
+    ``build_tables`` adds the gather-form segment tables (only needed for
+    ``segsum="gather"``; see :func:`_pack_one_side` for the size caveat)."""
     from scipy.sparse import issparse, csr_matrix
 
     if not issparse(X):
@@ -137,11 +143,11 @@ def pack_sell(X, lane=None):
     lane_docs = lane or _auto_lane(Xcsr.nnz, n)
     lane_words = lane or _auto_lane(Xcsr.nnz, m)
     row_doc, cols_a, vals_a, doc_segs = _pack_one_side(
-        Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane_docs
+        Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane_docs, build_tables
     )
     Xcsc = Xcsr.tocsc()
     col_word, rows_b, vals_b, word_segs = _pack_one_side(
-        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane_words
+        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane_words, build_tables
     )
     return SellSides(
         row_doc=row_doc, cols_a=cols_a, vals_a=vals_a,
@@ -199,7 +205,7 @@ def _pass_contrib(table_side, idx2d, vals, factor_side, thresh):
 
 
 def em_step_sell(
-    dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="gather"
+    dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="scatter"
 ):
     """One exact EM step on SELL device arrays.
 
@@ -251,7 +257,7 @@ def em_step_sell(
     return next_zd, next_wz, ll
 
 
-def refit_step_sell(dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="gather"):
+def refit_step_sell(dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="scatter"):
     """Frozen-topics step: only pass 1 (reference plsa.py:733-816)."""
     n, k = zd.shape
     wzT = wz.T
@@ -286,17 +292,20 @@ def log_likelihood_sell(dev, zd, wz, w=None):
 
 
 def device_arrays(sides: SellSides):
-    """Ship the packed arrays to the default device once."""
-    return {
+    """Ship the packed arrays to the default device once (gather-form segment
+    tables only when they were built — see :func:`pack_sell`)."""
+    dev = {
         "row_doc": jax.device_put(jnp.asarray(sides.row_doc)),
         "cols_a": jax.device_put(jnp.asarray(sides.cols_a)),
         "vals_a": jax.device_put(jnp.asarray(sides.vals_a)),
         "col_word": jax.device_put(jnp.asarray(sides.col_word)),
         "rows_b": jax.device_put(jnp.asarray(sides.rows_b)),
         "vals_b": jax.device_put(jnp.asarray(sides.vals_b)),
-        "doc_segs": jax.device_put(jnp.asarray(sides.doc_segs)),
-        "word_segs": jax.device_put(jnp.asarray(sides.word_segs)),
     }
+    if sides.doc_segs is not None:
+        dev["doc_segs"] = jax.device_put(jnp.asarray(sides.doc_segs))
+        dev["word_segs"] = jax.device_put(jnp.asarray(sides.word_segs))
+    return dev
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +464,7 @@ def sell_fit(
     n_iter_per_test=10,
     tolerance=0.001,
     e_step_thresh=1e-32,
-    segsum="gather",
+    segsum="scatter",
 ):
     """EM fit on a prepared SELL corpus.  Returns
     ``(zd, wz, n_steps, final_ll, ll_trace, n_tests)`` (device arrays)."""
@@ -483,7 +492,7 @@ def sell_refit(
     n_iter_per_test=10,
     tolerance=0.005,
     e_step_thresh=1e-32,
-    segsum="gather",
+    segsum="scatter",
 ):
     """Frozen-topics refit on a prepared SELL corpus; returns the same tuple."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL

@@ -48,7 +48,7 @@ def _coo_step(X, zd, wz, w, thresh):
 @pytest.mark.parametrize("lane", [8, 128])
 def test_sell_step_matches_coo(weighted, segsum, lane):
     X, zd, wz, w = _setup(seed=3, weighted=weighted)
-    sides = sell_ops.pack_sell(X, lane=lane)
+    sides = sell_ops.pack_sell(X, lane=lane, build_tables=(segsum == "gather"))
     dev = sell_ops.device_arrays(sides)
     zd2, wz2, ll2 = sell_ops.em_step_sell(
         dev, jnp.asarray(zd), jnp.asarray(wz),
@@ -95,7 +95,7 @@ def test_threshold_changes_result():
 @pytest.mark.parametrize("segsum", ["gather", "scatter"])
 def test_sell_refit_matches_coo(segsum):
     X, zd, wz, _ = _setup(seed=11)
-    sides = sell_ops.pack_sell(X)
+    sides = sell_ops.pack_sell(X, build_tables=(segsum == "gather"))
     dev = sell_ops.device_arrays(sides)
     zd2, ll2 = sell_ops.refit_step_sell(dev, jnp.asarray(zd), jnp.asarray(wz),
                                         segsum=segsum)

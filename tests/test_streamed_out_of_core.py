@@ -84,13 +84,22 @@ rows = rng.randint(0, n, nnz); cols = rng.randint(0, m, nnz)
 X = sp.coo_matrix((np.ones(nnz, np.float32), (rows, cols)), shape=(n, m)).tocsr()
 X.sum_duplicates()
 
+def hwm():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+marks = {"after_corpus": hwm()}
 from enstop_tpu.models.streamed_core import streamed_fit_core
+marks["after_import"] = hwm()
 zd, wz, steps, trace = streamed_fit_core(
     X, 5, block_docs=8192, n_iter=2, n_iter_per_test=10, random_state=0)
+marks["after_fit"] = hwm()
 peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 print(json.dumps({"peak_mb": peak_mb, "steps": steps,
                   "finite": bool(np.isfinite(wz).all() and np.isfinite(zd).all()),
-                  "dense_gb": n * m * 4 / 1e9}))
+                  "dense_gb": n * m * 4 / 1e9,
+                  "backend": jax.default_backend(),
+                  "n_devices": len(jax.devices()),
+                  "marks": marks}))
 """
 
 
@@ -98,12 +107,25 @@ print(json.dumps({"peak_mb": peak_mb, "steps": steps,
 def test_dense_exceeding_corpus_fits_in_budget(tmp_path):
     """Fit a corpus whose dense form is 12 GB inside a 4 GB host budget: the
     O(n*m) round-1 implementation dies here; O(nnz) passes easily."""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"  # 1 CPU device, no TPU client in the probe
+    # Linux ru_maxrss quirk: a fork()ed child's high-water mark starts at the
+    # PARENT's RSS (pytest is GBs here after other tests).  Launch the probe
+    # through a tiny intermediate interpreter so its accounting starts small.
+    relay = (
+        "import subprocess, sys; "
+        "r = subprocess.run([sys.executable, '-'], stdin=sys.stdin, timeout=850); "
+        "sys.exit(r.returncode)"
+    )
     out = subprocess.run(
-        [sys.executable, "-"], input=_RSS_SCRIPT, capture_output=True,
-        text=True, timeout=900, cwd="/root/repo",
+        [sys.executable, "-c", relay], input=_RSS_SCRIPT, capture_output=True,
+        text=True, timeout=900, cwd="/root/repo", env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     payload = json.loads(out.stdout.strip().splitlines()[-1])
-    assert payload["finite"] and payload["steps"] == 2
+    assert payload["backend"] == "cpu", payload
+    assert payload["finite"] and payload["steps"] == 2, payload
     assert payload["dense_gb"] > 10
-    assert payload["peak_mb"] < 4096, f"peak RSS {payload['peak_mb']:.0f} MB"
+    assert payload["peak_mb"] < 4096, f"peak RSS {payload['peak_mb']:.0f} MB: {payload}"
