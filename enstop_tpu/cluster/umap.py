@@ -103,6 +103,14 @@ def _spectral_init(W, dim, rng):
     return (emb + rng.normal(0, 0.0001, emb.shape)).astype(np.float64)
 
 
+def _scatter_add(emb, idx, updates):
+    """emb[idx] += updates with duplicate indices — np.bincount per output
+    column, ~6x faster than np.add.at (the SGD's hot op)."""
+    n = emb.shape[0]
+    for c in range(emb.shape[1]):
+        emb[:, c] += np.bincount(idx, weights=updates[:, c], minlength=n)
+
+
 def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
                      initial_alpha=1.0):
     heads, tails = np.nonzero(W)
@@ -127,8 +135,8 @@ def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
             dsq > 0, (-2.0 * a * b * dsq ** (b - 1.0)) / (a * dsq ** b + 1.0), 0.0
         )
         g = np.clip(grad_coeff[:, None] * d, -4.0, 4.0)
-        np.add.at(emb, h, alpha * g)
-        np.add.at(emb, t, -alpha * g)
+        _scatter_add(emb, h, alpha * g)
+        _scatter_add(emb, t, -alpha * g)
 
         # negative samples
         for _ in range(negative_sample_rate):
@@ -140,7 +148,7 @@ def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
             )
             mask = neg != h
             g = np.clip(rep[:, None] * d, -4.0, 4.0) * mask[:, None]
-            np.add.at(emb, h, alpha * g)
+            _scatter_add(emb, h, alpha * g)
         next_epoch[active] += eps_per_sample[active]
     return emb
 

@@ -149,23 +149,30 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     # init from the raw matrix (data-dependent inits like "nndsvd" need it);
     # only shapes are used for init="random"
     init_source = prepared if X is None else X
-    topics_out = []
+    uniform = np.full(n, 1.0 / n)
+    tol = jnp.float32(tolerance)
+    # Dispatch every run before syncing any: JAX async dispatch queues the 16
+    # fit programs back-to-back on the device while the host generates the
+    # next run's init/bootstrap weights — the device never idles on host work
+    # or result transfers between runs (runs stage measured 10.9 s -> ~fit-time
+    # bound at 20NG/16 runs).
+    pending = []
     for _ in range(n_runs):
         pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
         zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
         if bootstrap:
-            counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
+            counts = rng.multinomial(n, uniform).astype(np.float32)
         else:
             counts = np.ones(n, np.float32)
         w = pad_vector(counts, n_pad)
-        _, wz_f, _, _ = run(Xdev, zd, wz, w, jnp.float32(tolerance))
-        topics_out.append(np.asarray(wz_f)[:k, :m])
-    return np.vstack(topics_out)
+        _, wz_f, _, _ = run(Xdev, zd, wz, w, tol)
+        pending.append(wz_f)
+    return np.vstack([np.asarray(wz_f)[:k, :m] for wz_f in pending])
 
 
 def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                        n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                       backend="auto"):
+                       backend="auto", prepared=None):
     """All bootstrap fits in one compiled SPMD program, runs sharded over
     devices (see parallel/mesh.py:build_ensemble_runs_sharded)."""
     from ..parallel import mesh as mesh_lib
@@ -178,20 +185,26 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         n_shards -= 1
     mesh = mesh_lib.make_runs_mesh(n_shards)
 
-    rm, cm = _layout_multiples(backend, *X.shape)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    if prepared is None:
+        from ..ops.driver import prepare_counts
+
+        prepared = prepare_counts(X, backend=backend, standardize=False)
+    Xd = prepared.device_array
+    n, m = prepared.n, prepared.m
+    n_pad, m_pad = Xd.shape
 
     zds, wzs, ws = [], [], []
     for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
-        zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+        pzd0, pwz0 = plsa_init(X if X is not None else prepared, k,
+                               init=init, rng=rng)
+        zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
         zds.append(zd)
         wzs.append(wz)
         if bootstrap:
             counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
         else:
             counts = np.ones(n, np.float32)
-        ws.append(pad_vector(counts, Xd.shape[0]))
+        ws.append(pad_vector(counts, n_pad))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -207,7 +220,7 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         jnp.int32(n_iter), jnp.int32(n_iter_per_test),
     )
     wz_f = np.asarray(wz_f)  # (n_runs, kp, m_pad)
-    return wz_f[:, :k, : X.shape[1]].reshape(n_runs * k, X.shape[1])
+    return wz_f[:, :k, :m].reshape(n_runs * k, m)
 
 
 def ensemble_of_topics(
@@ -246,6 +259,7 @@ def ensemble_of_topics(
             n_iter_per_test=kwargs.get("n_iter_per_test", 10),
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
+            prepared=kwargs.get("prepared"),
         )
     if model == "plsa" and parallelism == "weights":
         rng = check_random_state(kwargs.get("random_state", None))
@@ -403,15 +417,23 @@ def ensemble_fit(
     backend="auto",
     x_dtype="auto",
 ):
-    """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``."""
+    """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``.
+
+    Stage wall times land in ``ensemble_fit.last_timings`` (staging / runs /
+    combine / refit) for observability.
+    """
+    import time as _time
+
     from ..ops.driver import PreparedCounts, prepare_counts
 
+    timings = {}
+    t0 = _time.perf_counter()
     if isinstance(X, PreparedCounts):
         prepared, X = X, None
-        if model != "plsa" or parallelism != "weights":
+        if model != "plsa" or parallelism not in ("weights", "sharded"):
             raise ValueError(
                 "PreparedCounts input requires model='plsa' and "
-                "parallelism='weights'"
+                "parallelism='weights' or 'sharded'"
             )
     else:
         X = check_array(X, accept_sparse="csr", dtype=np.float32)
@@ -420,10 +442,12 @@ def ensemble_fit(
         # one padded device-resident copy shared by every bootstrap fit and the
         # final refit (pad + transfer cost ~seconds at scale; pay it once)
         prepared = None
-        if model == "plsa" and parallelism == "weights":
+        if model == "plsa" and parallelism in ("weights", "sharded"):
             prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
                                       standardize=False)
+    timings["staging_s"] = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     all_topics = ensemble_of_topics(
         X,
         estimated_n_topics,
@@ -446,6 +470,8 @@ def ensemble_fit(
         prepared=prepared,
     )
 
+    timings["runs_s"] = _time.perf_counter() - t0
+
     if topic_combination in _topic_combiner:
         cluster_topics = _topic_combiner[topic_combination]
     else:
@@ -453,17 +479,20 @@ def ensemble_fit(
             "topic_combination must be one of {}".format(tuple(_topic_combiner.keys()))
         )
 
+    t0 = _time.perf_counter()
     if topic_combination == "hellinger_umap":
         stable_topics = cluster_topics(
             all_topics, min_samples, min_cluster_size, random_state=random_state
         )
     else:
         stable_topics = cluster_topics(all_topics, min_samples, min_cluster_size)
+    timings["combine_s"] = _time.perf_counter() - t0
 
     if lift_factor != 1:
         stable_topics = stable_topics ** lift_factor
         stable_topics /= stable_topics.sum(axis=1, keepdims=True)
 
+    t0 = _time.perf_counter()
     if model == "plsa":
         refit_input = prepared if prepared is not None else X
         sample_weight = _check_sample_weight(None, refit_input, dtype=np.float32)
@@ -488,7 +517,9 @@ def ensemble_fit(
         )
     else:
         raise ValueError('Model must be one of "plsa" or "nmf"')
+    timings["refit_s"] = _time.perf_counter() - t0
 
+    ensemble_fit.last_timings = timings
     return doc_vectors, stable_topics
 
 

@@ -68,6 +68,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, f32p,
         ]
         lib.densify_csr_gather.restype = None
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C")
+        lib.densify_csr_rows_bf16.argtypes = [
+            i64p, i32p, f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u16p, f32p,
+        ]
+        lib.densify_csr_rows_bf16.restype = None
         lib.packer_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -93,6 +99,29 @@ def densify_csr_rows(X, row_start, row_end, out):
     indptr, indices, data = _csr_arrays(X)
     lib.densify_csr_rows(
         indptr, indices, data, row_start, row_end, out.shape[1], out
+    )
+    return out
+
+
+def densify_csr_rows_bf16(X, row_start, row_end, out):
+    """Scatter CSR rows straight into a zeroed bf16 buffer (ml_dtypes.bfloat16
+    viewed as uint16), halving staging traffic vs densify-f32 + astype."""
+    import ml_dtypes
+
+    lib = get_lib()
+    if lib is None:
+        sub = X[row_start:row_end]
+        coo = sub.tocoo()
+        tmp = np.zeros(out.shape, np.float32)
+        np.add.at(tmp, (coo.row, coo.col), coo.data.astype(np.float32))
+        out[...] = tmp.astype(ml_dtypes.bfloat16).view(np.uint16)
+        return out
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint16
+    indptr, indices, data = _csr_arrays(X)
+    n_threads = max(int(lib.packer_num_threads()), 1)
+    scratch = np.zeros((n_threads, out.shape[1]), np.float32)
+    lib.densify_csr_rows_bf16(
+        indptr, indices, data, row_start, row_end, out.shape[1], out, scratch
     )
     return out
 

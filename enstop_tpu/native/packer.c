@@ -73,3 +73,50 @@ int packer_num_threads(void)
     return 1;
 #endif
 }
+
+/* f32 -> bf16 with round-to-nearest-even (counts <= 256 are exact). */
+static inline uint16_t f32_to_bf16(float f)
+{
+    uint32_t x;
+    memcpy(&x, &f, 4);
+    uint32_t bias = 0x7fffu + ((x >> 16) & 1u);
+    return (uint16_t)((x + bias) >> 16);
+}
+
+/* Densify CSR rows straight into a zeroed (rows, out_cols) bf16 buffer,
+ * halving the host staging traffic and the H2D transfer vs densify-f32 +
+ * astype.  Duplicate columns accumulate exactly (f32 scratch per thread:
+ * scratch has shape (n_threads, out_cols), zeroed once by the caller; rows
+ * re-zero only the entries they touched). */
+void densify_csr_rows_bf16(
+    const int64_t *indptr,
+    const int32_t *indices,
+    const float *data,
+    int64_t row_start,
+    int64_t row_end,
+    int64_t out_cols,
+    uint16_t *out,
+    float *scratch)
+{
+    int64_t nrows = row_end - row_start;
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < nrows; ++r) {
+#ifdef _OPENMP
+        float *s = scratch + (int64_t)omp_get_thread_num() * out_cols;
+#else
+        float *s = scratch;
+#endif
+        const int64_t lo = indptr[row_start + r];
+        const int64_t hi = indptr[row_start + r + 1];
+        uint16_t *row_out = out + r * out_cols;
+        for (int64_t p = lo; p < hi; ++p)
+            s[indices[p]] += data[p];
+        for (int64_t p = lo; p < hi; ++p) {
+            const int32_t c = indices[p];
+            if (s[c] != 0.0f) {
+                row_out[c] = f32_to_bf16(s[c]);
+                s[c] = 0.0f;
+            }
+        }
+    }
+}

@@ -158,6 +158,34 @@ def _layout_multiples(backend, n, m):
     return 8, 128
 
 
+def _stage_dense(X, backend, x_dtype):
+    """Densify + pad + ship once.  bf16 targets densify STRAIGHT into a bf16
+    buffer via the native packer (half the host traffic, half the H2D, no f32
+    staging copy — which alone can exceed device memory at large vocab)."""
+    from scipy.sparse import issparse
+
+    from .data import round_up
+
+    rm, cm = _layout_multiples(backend, *X.shape)
+    n, m = X.shape
+    if _is_bf16(x_dtype) and issparse(X):
+        import ml_dtypes
+
+        from ..native import densify_csr_rows_bf16
+
+        out = np.zeros((round_up(max(n, 1), rm), round_up(max(m, 1), cm)),
+                       np.uint16)
+        densify_csr_rows_bf16(X.tocsr(), 0, n, out)
+        return jax.device_put(out.view(ml_dtypes.bfloat16)), n, m
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm,
+                                dtype=np.float32)
+    if _is_bf16(x_dtype):
+        import ml_dtypes
+
+        Xd = Xd.astype(ml_dtypes.bfloat16)
+    return jax.device_put(Xd), n, m
+
+
 class PreparedCounts:
     """A device-resident, padded count matrix reusable across fits.
 
@@ -228,15 +256,7 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
         # instead fits raw float32 counts (enstop_.py:527) and passes
         # standardize=False.
         X = standardize_input(X)
-    rm, cm = _layout_multiples(backend, *X.shape)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
-    if _is_bf16(x_dtype):
-        # cast on the host: halves the H2D transfer AND the peak HBM (an f32
-        # staging copy of a large corpus can alone exceed device memory)
-        import ml_dtypes
-
-        Xd = Xd.astype(ml_dtypes.bfloat16)
-    dev = jax.device_put(Xd)
+    dev, n, m = _stage_dense(X, backend, x_dtype)
     return PreparedCounts(dev, n, m, _nnz_of(X), backend)
 
 
@@ -295,13 +315,8 @@ def plsa_fit(
         backend = resolve_backend(backend)
         x_dtype = _resolve_x_dtype(X, x_dtype)
         p_z_given_d, p_w_given_z = plsa_init(X, k, init=init, rng=rng)
-        rm, cm = _layout_multiples(backend, *X.shape)
-        Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
+        Xd, n, m = _stage_dense(X, backend, x_dtype)
         nnz = _nnz_of(X)
-        if _is_bf16(x_dtype):
-            import ml_dtypes
-
-            Xd = Xd.astype(ml_dtypes.bfloat16)  # host cast: halves H2D + peak HBM
 
     zd, wz = pad_factors(p_z_given_d, p_w_given_z, Xd.shape[0], Xd.shape[1])
 
@@ -433,12 +448,7 @@ def plsa_refit(
     else:
         backend = resolve_backend(backend)
         x_dtype = _resolve_x_dtype(X, x_dtype)
-        rm, cm = _layout_multiples(backend, *X.shape)
-        Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm, dtype=np.float32)
-        if _is_bf16(x_dtype):
-            import ml_dtypes
-
-            Xd = Xd.astype(ml_dtypes.bfloat16)
+        Xd, n, m = _stage_dense(X, backend, x_dtype)
     zd, wz = pad_factors(p_z_given_d, np.asarray(topics, dtype=np.float32), Xd.shape[0], Xd.shape[1])
 
     weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))

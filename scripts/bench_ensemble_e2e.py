@@ -34,18 +34,29 @@ def main():
     EnsembleTopics(n_components=20, n_starts=1, n_iter=10, random_state=0).fit(X)
     print(f"# full-shape warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    stages = {}
-    t0 = time.time()
-    model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
-                           random_state=42).fit(X)
-    wall = time.time() - t0
-    print(json.dumps({
-        "metric": "ensemble_e2e_wall_s_20ng_k20_16runs",
-        "value": round(wall, 2),
-        "n_components_": int(model.n_components_),
-        "reference_wall_s": 183.0,
-        "speedup": round(183.0 / wall, 1),
-    }))
+    from enstop_tpu.models.ensemble import ensemble_fit
+
+    for par in ("weights", "sharded"):
+        # warm the sharded program too
+        if par == "sharded":
+            t0 = time.time()
+            EnsembleTopics(n_components=20, n_starts=2, n_iter=10,
+                           parallelism=par, random_state=0).fit(X)
+            print(f"# sharded warmup {time.time()-t0:.1f}s", file=sys.stderr,
+                  flush=True)
+        t0 = time.time()
+        model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
+                               parallelism=par, random_state=42).fit(X)
+        wall = time.time() - t0
+        print(json.dumps({
+            "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}",
+            "value": round(wall, 2),
+            "n_components_": int(model.n_components_),
+            "stages": {k: round(v, 2) for k, v in
+                       getattr(ensemble_fit, "last_timings", {}).items()},
+            "reference_wall_s": 183.0,
+            "speedup": round(183.0 / wall, 1),
+        }))
 
 
 if __name__ == "__main__":
