@@ -190,7 +190,74 @@ class DistributedPLSA(BlockParallelPLSA):
     Same program as :class:`BlockParallelPLSA`; under ``jax.distributed`` the mesh
     spans hosts and the psums ride ICI/DCN.  Note the reference's dask variant
     does not support ``sample_weight`` (distributed_plsa.py:448-449); this one does.
+
+    ``layout="sparse"`` shards the corpus by its NONZEROS over a docs mesh
+    (parallel/sparse_mesh.py): per-chip HBM holds only that chip's entries plus
+    the replicated topics — the reference's O(nnz) complexity, distributed.
+    Use it when the dense per-chip tile would not fit.
     """
+
+    def __init__(
+        self,
+        n_components=10,
+        init="random",
+        n_row_blocks=None,
+        n_col_blocks=1,
+        n_iter=100,
+        n_iter_per_test=10,
+        tolerance=0.001,
+        e_step_thresh=1e-32,
+        transform_random_seed=42,
+        random_state=None,
+        backend="auto",
+        layout="dense",
+    ):
+        super().__init__(
+            n_components=n_components,
+            init=init,
+            n_row_blocks=n_row_blocks,
+            n_col_blocks=n_col_blocks,
+            n_iter=n_iter,
+            n_iter_per_test=n_iter_per_test,
+            tolerance=tolerance,
+            e_step_thresh=e_step_thresh,
+            transform_random_seed=transform_random_seed,
+            random_state=random_state,
+            backend=backend,
+        )
+        self.layout = layout
+
+    def fit_transform(self, X, y=None, sample_weight=None):
+        if self.layout not in ("dense", "sparse"):
+            raise ValueError(
+                "layout must be 'dense' or 'sparse', got {!r}".format(self.layout)
+            )
+        if self.layout != "sparse":
+            return super().fit_transform(X, y=y, sample_weight=sample_weight)
+        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
+
+        X, sample_weight = validate_corpus(X, sample_weight)
+        data, good_rows, zero_rows_found = split_zero_rows(X)
+        U, V, n_steps, trace = sparse_mesh_fit(
+            data,
+            self.n_components,
+            mesh=make_docs_mesh(),
+            sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
+            init=self.init,
+            n_iter=self.n_iter,
+            n_iter_per_test=self.n_iter_per_test,
+            tolerance=self.tolerance,
+            random_state=self.random_state,
+        )
+        if zero_rows_found:
+            self.embedding_ = reinsert_zero_rows(U, good_rows, X.shape[0], self.n_components)
+        else:
+            self.embedding_ = U
+        self.components_ = V
+        self.training_data_ = X
+        self.n_iter_ = n_steps
+        self.history_ = np.asarray(trace, dtype=np.float64)
+        return self.embedding_
 
     def _make_mesh(self):
         devices = jax.devices()
