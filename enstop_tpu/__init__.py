@@ -64,4 +64,12 @@ def __getattr__(name):
         from .models.ensemble import EnsembleTopics
 
         return EnsembleTopics
+    if name in ("PreparedSell", "prepare_sell"):
+        from .ops import sell as _sell
+
+        return getattr(_sell, name)
+    if name == "ensemble_fit":
+        from .models.ensemble import ensemble_fit
+
+        return ensemble_fit
     raise AttributeError(name)

@@ -64,3 +64,20 @@ def test_all_zero_matrix_rejected_or_zero():
     emb = model.fit_transform(X)
     assert emb.shape == (4, 2)
     assert np.all(emb == 0)
+
+
+def test_large_k_fit_paths():
+    """k far beyond the CUDA reference's comfort zone (its normalize kernel
+    capped k at 1024, cuda_plsa.py:135): k=100 on all single-device backends."""
+    import numpy as np
+    import scipy.sparse as sp
+    from conftest import make_corpus
+    from enstop_tpu.ops.driver import plsa_fit
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=81,
+                                  n_docs=150, n_words=220, avg_doc_len=80))
+    for backend in ("xla", "sparse"):
+        zd, wz = plsa_fit(X, 100, backend=backend, n_iter=5, random_state=0)
+        assert zd.shape == (150, 100) and wz.shape == (100, 220)
+        np.testing.assert_allclose(wz.sum(1), 1.0, rtol=1e-3)
+        assert np.isfinite(zd).all() and np.isfinite(wz).all()
