@@ -133,13 +133,23 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
                                backend="auto", precision="default", x_dtype="auto",
                                prepared=None):
-    """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident padded copy
-    of X, expressing each bootstrap as multinomial document weights."""
+    """Run ``n_runs`` bootstrap pLSA fits against ONE device-resident copy of X
+    (dense-padded or sparse SELL), expressing each bootstrap as multinomial
+    document weights."""
     from ..ops.driver import prepare_counts
+    from ..ops.sell import PreparedSell, prepare_sell
 
     if prepared is None:
-        prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
-                                  standardize=False)
+        if backend == "sparse":
+            prepared = prepare_sell(X, standardize=False)
+        else:
+            prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
+                                      standardize=False)
+    if isinstance(prepared, PreparedSell):
+        return _sparse_resident_plsa_runs(
+            X, k, n_runs, rng, prepared, bootstrap=bootstrap, init=init,
+            n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+        )
     backend = prepared.backend
     Xdev, n, m = prepared.device_array, prepared.n, prepared.m
 
@@ -168,6 +178,32 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         _, wz_f, _, _ = run(Xdev, zd, wz, w, tol)
         pending.append(wz_f)
     return np.vstack([np.asarray(wz_f)[:k, :m] for wz_f in pending])
+
+
+def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
+                               init="random", n_iter=100, n_iter_per_test=10,
+                               tolerance=0.001):
+    """Bootstrap fan-out on the O(nnz) resident layout (for corpora whose dense
+    rectangle would not fit in HBM); multinomial-weight bootstraps, pipelined
+    dispatch like the dense path."""
+    from ..ops.sell import sell_fit
+
+    n, m = prepared.n, prepared.m
+    init_source = prepared if X is None else X
+    uniform = np.full(n, 1.0 / n)
+    pending = []
+    for _ in range(n_runs):
+        pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
+        if bootstrap:
+            counts = rng.multinomial(n, uniform).astype(np.float32)
+        else:
+            counts = np.ones(n, np.float32)
+        _, wz_f, _, _, _, _ = sell_fit(
+            prepared, pzd0, pwz0, sample_weight=counts,
+            n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+        )
+        pending.append(wz_f)
+    return np.vstack([np.asarray(w)[:k, :m] for w in pending])
 
 
 def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
@@ -425,24 +461,27 @@ def ensemble_fit(
     import time as _time
 
     from ..ops.driver import PreparedCounts, prepare_counts
+    from ..ops.sell import PreparedSell, prepare_sell
 
     timings = {}
     t0 = _time.perf_counter()
-    if isinstance(X, PreparedCounts):
+    if isinstance(X, (PreparedCounts, PreparedSell)):
         prepared, X = X, None
         if model != "plsa" or parallelism not in ("weights", "sharded"):
             raise ValueError(
-                "PreparedCounts input requires model='plsa' and "
+                "Prepared input requires model='plsa' and "
                 "parallelism='weights' or 'sharded'"
             )
     else:
         X = check_array(X, accept_sparse="csr", dtype=np.float32)
         if not issparse(X):
             X = csr_matrix(X)
-        # one padded device-resident copy shared by every bootstrap fit and the
-        # final refit (pad + transfer cost ~seconds at scale; pay it once)
+        # one device-resident copy (dense-padded, or O(nnz) sparse for
+        # backend="sparse") shared by every bootstrap fit and the final refit
         prepared = None
-        if model == "plsa" and parallelism in ("weights", "sharded"):
+        if model == "plsa" and parallelism == "weights" and backend == "sparse":
+            prepared = prepare_sell(X, standardize=False)
+        elif model == "plsa" and parallelism in ("weights", "sharded"):
             prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
                                       standardize=False)
     timings["staging_s"] = _time.perf_counter() - t0
@@ -581,8 +620,9 @@ class EnsembleTopics(TopicModelBase):
 
     def fit_transform(self, X, y=None, **fit_params):
         from ..ops.driver import PreparedCounts
+        from ..ops.sell import PreparedSell
 
-        if not isinstance(X, PreparedCounts):
+        if not isinstance(X, (PreparedCounts, PreparedSell)):
             X = check_array(X, accept_sparse="csr")
             if not issparse(X):
                 X = csr_matrix(X)
@@ -612,10 +652,12 @@ class EnsembleTopics(TopicModelBase):
             x_dtype=self.x_dtype,
         )
         from ..ops.driver import PreparedCounts
+        from ..ops.sell import PreparedSell
 
         self.components_ = V
         self.embedding_ = U
-        self.training_data_ = None if isinstance(X, PreparedCounts) else X
+        self.training_data_ = (None if isinstance(X, (PreparedCounts, PreparedSell))
+                               else X)
         self.n_components_ = self.components_.shape[0]
         return U
 

@@ -256,3 +256,24 @@ def test_pack_sell_empty_and_long_rows():
     # empty doc: SELL yields a zero row, COO segment_sum too
     np.testing.assert_allclose(np.asarray(zd2), np.asarray(zd1), rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(wz2), np.asarray(wz1), rtol=2e-5, atol=1e-7)
+
+
+def test_ensemble_sparse_backend():
+    """EnsembleTopics(backend='sparse') runs the bootstrap fan-out on the
+    O(nnz) resident layout; PreparedSell input is accepted; results agree with
+    the dense backend on topic structure."""
+    from enstop_tpu import EnsembleTopics
+    from enstop_tpu.ops.sell import prepare_sell
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=83,
+                                  n_docs=90, n_words=120).astype(np.int64))
+    m = EnsembleTopics(n_components=4, n_starts=4, backend="sparse",
+                       random_state=0).fit(X)
+    md = EnsembleTopics(n_components=4, n_starts=4, random_state=0).fit(X)
+    assert m.n_components_ == md.n_components_
+    np.testing.assert_allclose(m.components_.sum(1), 1.0, rtol=1e-4)
+
+    prep = prepare_sell(X, standardize=False)
+    m2 = EnsembleTopics(n_components=4, n_starts=4, random_state=0).fit(prep)
+    assert m2.training_data_ is None
+    assert m2.embedding_.shape == (90, m2.n_components_)
