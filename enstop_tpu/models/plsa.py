@@ -23,9 +23,12 @@ class PLSA(TopicModelBase):
     selects the execution path (``"auto"`` = fused Pallas kernel on TPU, XLA
     matmuls otherwise).
 
-    ``e_step_thresh`` is accepted for drop-in parity; the default (1e-32) is a
-    numerical no-op in f32 and the fast paths do not apply the cutoff (see
-    ops/em.py).
+    ``e_step_thresh``: the default (1e-32) is a numerical no-op in f32 and the
+    fast dense paths skip the cutoff; a materially-firing threshold (> 1e-30)
+    auto-routes the fit to the sparse backend, which applies the reference's
+    exact pre-normalization cutoff (plsa.py:97-102).  Measured at 20NG scale
+    the ensemble's 1e-16 changes the final log-likelihood by 3e-6 relative
+    (docs/PERFORMANCE.md).
     """
 
     def __init__(

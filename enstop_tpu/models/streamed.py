@@ -66,6 +66,7 @@ class StreamedPLSA(TopicModelBase):
             n_iter=self.n_iter,
             n_iter_per_test=self.n_iter_per_test,
             tolerance=self.tolerance,
+            e_step_thresh=self.e_step_thresh,
             random_state=self.random_state,
         )
         if zero_rows_found:

@@ -85,8 +85,11 @@ class _BlockStore:
         return total
 
 
-def _block_step_fns(use_pallas):
-    """(word_accum, doc_update) closures over device chunk/SELL arrays."""
+def _block_step_fns(use_pallas, thresh=None):
+    """(word_accum, doc_update) closures over device chunk/SELL arrays.
+
+    ``thresh``: a materially-firing ``e_step_thresh`` (reference
+    plsa.py:97-102) applied exactly, like the resident sparse path."""
     if use_pallas:
 
         def word_accum(dev, zd_b, wz, w_b, blk):
@@ -95,7 +98,7 @@ def _block_step_fns(use_pallas):
             zd_p, wzT_p, kp = ps._padded_factors(zd_b, wz, blk.n_pad, blk.m_pad)
             w_col = jnp.zeros((blk.n_pad, 1), jnp.float32).at[: zd_b.shape[0], 0].set(w_b)
             a_acc, _ = ps._word_pass(dev["word_major"], zd_p, wzT_p, w_col,
-                                     blk.bd, blk.bw, False, None,
+                                     blk.bd, blk.bw, False, thresh,
                                      blk.n_pad, blk.m_pad)
             return a_acc[: wz.shape[1], : zd_b.shape[1]].T      # (k, m)
 
@@ -103,10 +106,10 @@ def _block_step_fns(use_pallas):
             zd_p, wzT_p, kp = ps._padded_factors(zd_b, wz, blk.n_pad, blk.m_pad)
             w_col = jnp.zeros((blk.n_pad, 1), jnp.float32).at[: zd_b.shape[0], 0].set(w_b)
             b_acc, ll = ps._doc_pass(dev["doc_major"], zd_p, wzT_p, w_col,
-                                     blk.bd, blk.bw, True, None,
+                                     blk.bd, blk.bw, True, thresh,
                                      blk.n_pad, blk.m_pad)
             b = b_acc[: zd_b.shape[0], : zd_b.shape[1]]
-            num = zd_b * b
+            num = (zd_b * b) if thresh is None else b
             new_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
             return new_zd, ll
 
@@ -121,7 +124,7 @@ def _block_step_fns(use_pallas):
             wz_rows = wzT[dev["col_word"]]
             vals_b = dev["vals_b"] * w_b[dev["rows_b"]]
             contrib, _ = sell_ops._pass_contrib(wz_rows, dev["rows_b"], vals_b,
-                                                zd_b, None)
+                                                zd_b, thresh)
             return sell_ops._segsum_scatter(
                 contrib, dev["col_word"], wz.shape[1]).T  # (k, m)
 
@@ -130,9 +133,9 @@ def _block_step_fns(use_pallas):
             wzT = wz.T
             zd_rows = zd_b[dev["row_doc"]]
             contrib, s = sell_ops._pass_contrib(zd_rows, dev["cols_a"],
-                                                dev["vals_a"], wzT, None)
+                                                dev["vals_a"], wzT, thresh)
             B = sell_ops._segsum_scatter(contrib, dev["row_doc"], zd_b.shape[0])
-            num = zd_b * B
+            num = (zd_b * B) if thresh is None else B
             new_zd = num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
             term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
             ll = (term * w_b[dev["row_doc"]][:, None]).sum()
@@ -159,6 +162,7 @@ def streamed_fit_core(
     n_iter=100,
     n_iter_per_test=10,
     tolerance=0.001,
+    e_step_thresh=None,
     random_state=None,
 ):
     """Out-of-core EM fit.  Returns ``(zd, wz, n_steps, ll_trace)``.
@@ -169,10 +173,15 @@ def streamed_fit_core(
     """
     from sklearn.utils import check_random_state
 
+    from ..ops.sell import THRESH_MATERIAL
+
     rng = check_random_state(random_state)
     use_pallas = _use_pallas()
     store = _BlockStore(X, block_docs, use_pallas)
     n, m = store.n, store.m
+    thresh = (float(e_step_thresh)
+              if e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
+              else None)
 
     pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
     wz = jnp.asarray(pwz0)
@@ -184,11 +193,12 @@ def streamed_fit_core(
             else np.ones(n, np.float32))
     w_blocks = [jnp.asarray(w_np[lo:hi]) for lo, hi in store.block_rows]
 
-    word_accum, doc_update, ship = _block_step_fns(use_pallas)
+    word_accum, doc_update, ship = _block_step_fns(use_pallas, thresh)
 
     @jax.jit
     def finish_wz(wz, a_sum):
-        num = wz * a_sum
+        # with exact thresholding the contributions already carry wz
+        num = (wz * a_sum) if thresh is None else a_sum
         return num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
 
     # test points per the reference schedule (plsa.py:516-640): after

@@ -277,9 +277,11 @@ def plsa_fit(
 ):
     """Fit pLSA factors ``(P(z|d), P(w|z))`` to a (sparse or dense) count matrix.
 
-    Mirrors the reference driver (plsa.py:643-730).  ``e_step_thresh`` is accepted
-    for API parity; the matmul-form kernels treat it as a numerical no-op (see
-    ops/em.py docstring) — the default 1e-32 never fires in f32.
+    Mirrors the reference driver (plsa.py:643-730).  ``e_step_thresh``: the
+    default 1e-32 never fires in f32 and the matmul-form kernels skip the
+    cutoff; a materially-firing threshold (> 1e-30, e.g. the ensemble's 1e-16)
+    routes ``backend="auto"`` to the sparse backend, which applies the
+    reference's exact semantics (plsa.py:97-102).
 
     ``precision``: MXU matmul precision for the Pallas backend. ``"default"``
     (bf16 multiplies, f32 accumulation) converges to the same optimum as

@@ -129,3 +129,25 @@ def test_dense_exceeding_corpus_fits_in_budget(tmp_path):
     assert payload["finite"] and payload["steps"] == 2, payload
     assert payload["dense_gb"] > 10
     assert payload["peak_mb"] < 4096, f"peak RSS {payload['peak_mb']:.0f} MB: {payload}"
+
+
+def test_streamed_thresholded_matches_resident_sparse():
+    """StreamedPLSA honors a materially-firing e_step_thresh exactly (same
+    trajectory as the resident sparse path at the same threshold)."""
+    from enstop_tpu.ops.sell import prepare_sell, sell_fit
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=91,
+                                  n_docs=60, n_words=90))
+    thresh = 2e-3
+    pzd0, pwz0 = plsa_init(X, 4, rng=np.random.RandomState(7))
+    prep = prepare_sell(X, standardize=False)
+    zd_r, wz_r, _, _, _, _ = sell_fit(prep, pzd0, pwz0, n_iter=8,
+                                      n_iter_per_test=100,
+                                      e_step_thresh=thresh)
+    zd_s, wz_s, _, _ = streamed_fit_core(
+        X, 4, init=(pzd0, pwz0), block_docs=16, n_iter=8,
+        n_iter_per_test=100, e_step_thresh=thresh, random_state=0,
+    )
+    np.testing.assert_allclose(wz_s, np.asarray(wz_r), rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(zd_s, np.asarray(zd_r), rtol=5e-4, atol=1e-6)
