@@ -259,6 +259,21 @@ class DistributedPLSA(BlockParallelPLSA):
         self.history_ = np.asarray(trace, dtype=np.float64)
         return self.embedding_
 
+    def transform(self, X, y=None):
+        if self.layout != "sparse":
+            return super().transform(X, y=y)
+        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_refit
+
+        X = check_array(X, accept_sparse="csr")
+        if not issparse(X):
+            X = coo_matrix(X).tocsr()
+        return sparse_mesh_refit(
+            X,
+            self.components_,
+            mesh=make_docs_mesh(),
+            random_state=check_random_state(self.transform_random_seed),
+        )
+
     def _make_mesh(self):
         devices = jax.devices()
         n_dev = len(devices)

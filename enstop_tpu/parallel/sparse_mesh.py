@@ -254,3 +254,49 @@ def sparse_mesh_fit(
         out[lo:hi] = zd_f[d * local_docs: d * local_docs + (hi - lo), :k]
     return (out, np.asarray(wz_f)[:k, :m], int(steps),
             np.asarray(trace)[: int(n_tests)])
+
+
+def sparse_mesh_refit(
+    X,
+    topics,
+    mesh=None,
+    n_iter=50,
+    n_iter_per_test=10,
+    tolerance=0.005,
+    random_state=None,
+):
+    """Frozen-topics refit with the corpus sharded by nonzeros over the mesh
+    (the transform path of ``DistributedPLSA(layout="sparse")``)."""
+    from sklearn.utils import check_random_state
+
+    rng = check_random_state(random_state)
+    mesh = mesh or make_docs_mesh()
+    n_dev = mesh.shape["docs"]
+
+    dev, doc_starts, n, m = shard_sell(mesh, X)
+    local_docs = int(-(-n // n_dev))
+    k = topics.shape[0]
+
+    zd0 = rng.rand(n, k).astype(np.float32)
+    zd0 /= zd0.sum(axis=1, keepdims=True)
+    zd = np.zeros((n_dev * local_docs, k), np.float32)
+    w = np.zeros((n_dev * local_docs,), np.float32)
+    bounds = np.concatenate([doc_starts, [n]])
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        zd[d * local_docs: d * local_docs + (hi - lo)] = zd0[lo:hi]
+        w[d * local_docs: d * local_docs + (hi - lo)] = 1.0
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    zd_s = put(zd, P("docs", None))
+    wz_s = put(np.asarray(topics, np.float32), P(None, None))
+    w_s = put(w, P("docs"))
+
+    run = build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test,
+                                   local_docs, m, refit=True)
+    zd_f = np.asarray(run(dev, zd_s, wz_s, w_s, tolerance)[0])
+    out = np.zeros((n, k), np.float32)
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        out[lo:hi] = zd_f[d * local_docs: d * local_docs + (hi - lo), :k]
+    return out

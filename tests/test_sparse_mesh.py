@@ -72,3 +72,20 @@ def test_distributed_plsa_sparse_layout():
     # matches the dense-layout mesh fit at identical init
     md = DistributedPLSA(n_components=4, n_iter=20, random_state=0).fit(X)
     np.testing.assert_allclose(m.components_, md.components_, rtol=5e-3, atol=1e-5)
+
+
+def test_sparse_mesh_transform():
+    """Sparse-layout transform runs the refit sharded over the docs mesh and
+    agrees with the flat refit."""
+    from enstop_tpu import DistributedPLSA
+    from enstop_tpu.ops.driver import plsa_refit
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=79,
+                                  n_docs=77, n_words=95).astype(np.int64))
+    m = DistributedPLSA(n_components=4, n_iter=15, random_state=0,
+                        layout="sparse").fit(X)
+    t = m.transform(X[:20])
+    assert t.shape == (20, 4)
+    flat = plsa_refit(X[:20], m.components_, backend="xla",
+                      random_state=m.transform_random_seed)
+    np.testing.assert_allclose(t, flat, rtol=5e-3, atol=1e-5)
