@@ -18,7 +18,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["all_pairs_hellinger_distance", "all_pairs_kl_divergence", "hellinger"]
+__all__ = ["all_pairs_hellinger_distance", "all_pairs_kl_divergence",
+           "hellinger", "kl_divergence"]
+
+
+def kl_divergence(a, b):
+    """KL divergence between two multinomials in BITS (the reference uses
+    log2, enstop_.py:235-242), skipping entries where either side is zero."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mask = (a > 0) & (b > 0)
+    return float(np.sum(a[mask] * (np.log2(a[mask]) - np.log2(b[mask]))))
 
 
 def hellinger(a, b):

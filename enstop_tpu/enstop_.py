@@ -14,6 +14,7 @@ from .cluster.distances import (
     all_pairs_hellinger_distance,
     all_pairs_kl_divergence,
     hellinger,
+    kl_divergence,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "all_pairs_kl_divergence",
     "all_pairs_hellinger_distance",
     "hellinger",
+    "kl_divergence",
 ]
