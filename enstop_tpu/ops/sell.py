@@ -317,8 +317,9 @@ class PreparedSell:
     :class:`enstop_tpu.ops.driver.PreparedCounts`).
 
     ``kind`` selects the execution layout: ``"sell"`` (XLA gathers/segment
-    sums — the portable path) or ``"chunks"`` (the fused Pallas one-hot-matmul
-    kernels of ops/pallas_sell.py — the TPU path)."""
+    sums — the default everywhere, see :func:`prepare_sell`) or ``"chunks"``
+    (the fused Pallas one-hot-matmul kernels of ops/pallas_sell.py — opt-in;
+    measured at best on par with SELL and SMEM-capped ~100k chunks)."""
 
     __slots__ = ("dev", "n", "m", "nnz", "lane", "backend", "kind", "meta")
 
