@@ -161,15 +161,42 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     init_source = prepared if X is None else X
     uniform = np.full(n, 1.0 / n)
     tol = jnp.float32(tolerance)
+
+    # init="random" factors are generated ON DEVICE (jax PRNG): per-run l1-
+    # normalized uniforms with absorbing zero padding — no 3.5 MB/run
+    # host->device init transfer (material on slow links; the values are a
+    # different-but-equivalent random stream than plsa_init's numpy one)
+    make_init = None
+    if init == "random":
+        from ..ops.data import round_up
+
+        kp = round_up(k, 8)
+        base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
+
+        @jax.jit
+        def make_init(key):
+            kz, kw = jax.random.split(key)
+            zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
+            zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
+                           & (jnp.arange(kp) < k)[None, :], zd, 0.0)
+            zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
+            wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
+            wz = jnp.where((jnp.arange(kp) < k)[:, None]
+                           & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
+            wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
+            return zd, wz
+
     # Dispatch every run before syncing any: JAX async dispatch queues the 16
     # fit programs back-to-back on the device while the host generates the
-    # next run's init/bootstrap weights — the device never idles on host work
-    # or result transfers between runs (runs stage measured 10.9 s -> ~fit-time
-    # bound at 20NG/16 runs).
+    # next run's bootstrap weights — the device never idles on host work or
+    # result transfers between runs.
     pending = []
-    for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
-        zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
+    for i in range(n_runs):
+        if make_init is not None:
+            zd, wz = make_init(jax.random.fold_in(base_key, i))
+        else:
+            pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
+            zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
         if bootstrap:
             counts = rng.multinomial(n, uniform).astype(np.float32)
         else:

@@ -131,17 +131,22 @@ def test_sharded_parallelism_runs_on_device_mesh(corpus):
 
 
 def test_sharded_matches_weights_given_same_draws(corpus):
-    """With bootstrap off and identical inits, sharded == sequential weights."""
+    """With bootstrap off and an identical EXPLICIT init, sharded == sequential
+    weights (the two fan-outs run the same math; random-stream alignment is
+    not part of the contract — the weights path generates inits on device)."""
     import scipy.sparse as sp
 
+    from enstop_tpu.ops.init import plsa_init
+
     X = sp.csr_matrix(corpus)
+    init = plsa_init(X, 3, rng=np.random.RandomState(7))
     s1 = ensemble_of_topics(
         X, 3, n_runs=4, parallelism="sharded", random_state=7, n_iter=12,
-        bootstrap=False,
+        bootstrap=False, init=init,
     )
     s2 = ensemble_of_topics(
         X, 3, n_runs=4, parallelism="weights", random_state=7, n_iter=12,
-        bootstrap=False,
+        bootstrap=False, init=init,
     )
     np.testing.assert_allclose(s1, s2, rtol=5e-3, atol=1e-5)
 
