@@ -24,7 +24,6 @@ import sys
 import time
 
 import numpy as np
-import scipy.sparse as sp
 
 N_DOCS, N_WORDS, K, TOKENS_PER_DOC = 18846, 25000, 20, 155
 N_ITER = 100

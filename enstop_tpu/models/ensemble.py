@@ -42,8 +42,8 @@ from ..cluster.hdbscan import (
     single_linkage_tree,
 )
 from ..cluster.umap import umap_embed
-from ..ops.driver import plsa_fit, plsa_refit, resolve_backend, _build_fit_fn, _layout_multiples
-from ..ops.data import pad_dense_counts, pad_factors, pad_vector
+from ..ops.driver import plsa_fit, plsa_refit, resolve_backend, _build_fit_fn
+from ..ops.data import pad_factors, pad_vector
 from ..ops.init import plsa_init
 from ..utils import _check_sample_weight, normalized
 from .base import TopicModelBase

@@ -34,7 +34,6 @@ import jax.numpy as jnp
 
 from ..ops import pallas_sell as ps
 from ..ops import sell as sell_ops
-from ..ops.data import round_up
 from ..ops.init import plsa_init
 
 _TINY = 1e-30

@@ -39,7 +39,7 @@ accumulation (pass 2) and never ``P(z|d)`` (plsa.py:292-300).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
