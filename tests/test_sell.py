@@ -277,3 +277,83 @@ def test_ensemble_sparse_backend():
     m2 = EnsembleTopics(n_components=4, n_starts=4, random_state=0).fit(prep)
     assert m2.training_data_ is None
     assert m2.embedding_.shape == (90, m2.n_components_)
+
+
+@pytest.mark.parametrize("seed", [501, 602, 703])
+def test_sparse_step_fuzz_shapes(seed):
+    """Oracle parity of the SELL step across randomized shapes, densities,
+    topic counts, weights, and thresholds (the sparse analog of the dense
+    fuzz sweep in test_em_parity)."""
+    import oracle
+
+    r = np.random.RandomState(seed)
+    n = int(r.randint(15, 120))
+    m = int(r.randint(40, 300))
+    k = int(r.randint(2, 11))
+    density = float(r.uniform(0.02, 0.25))
+    X = sp.random(n, m, density=density, random_state=r, format="csr")
+    X.data = np.ceil(X.data * 6).astype(np.float32)
+    for i in np.flatnonzero(np.diff(X.indptr) == 0):
+        X[i, r.randint(m)] = 1.0
+    X = sp.csr_matrix(X)
+    w = r.uniform(0.1, 3.0, n).astype(np.float32) if seed % 2 else None
+    thresh = float(r.choice([1e-32, 1e-16, 1e-4]))
+
+    zd = r.rand(n, k).astype(np.float32); zd /= zd.sum(1, keepdims=True)
+    wz = r.rand(k, m).astype(np.float32); wz /= wz.sum(1, keepdims=True)
+
+    Xd = X.toarray()
+    rows, cols, vals = oracle.to_coo(Xd)
+    resp = oracle.e_step(rows, cols, vals, wz, zd, thresh=thresh)
+    want_zd, want_wz = oracle.m_step(rows, cols, vals, resp, n, m, sample_weight=w)
+
+    sides = sell_ops.pack_sell(X)
+    dev = sell_ops.device_arrays(sides)
+    got_zd, got_wz, ll = sell_ops.em_step_sell(
+        dev, jnp.asarray(zd), jnp.asarray(wz),
+        w=None if w is None else jnp.asarray(w),
+        thresh=None if thresh <= 1e-30 else thresh,
+    )
+    np.testing.assert_allclose(np.asarray(got_zd), want_zd, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_wz), want_wz, rtol=5e-4, atol=1e-6)
+    want_ll = oracle.log_likelihood(rows, cols, vals, wz, zd, sample_weight=w)
+    assert float(ll) == pytest.approx(want_ll, rel=1e-4)
+
+
+def test_all_execution_strategies_converge_identically():
+    """Dense, sparse-resident, streamed, dense-mesh, and sparse-mesh all reach
+    the same optimum from the same init — the framework-wide cross-variant
+    equivalence the reference guarantees by construction (SURVEY §4c)."""
+    from enstop_tpu.models.streamed_core import streamed_fit_core
+    from enstop_tpu.parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
+    from enstop_tpu.parallel import mesh as mesh_lib
+    from enstop_tpu.ops.init import plsa_init
+    from enstop_tpu.ops.data import pad_factors, pad_vector
+    import jax
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=97,
+                                  n_docs=96, n_words=128))
+    k, n_iter = 4, 20
+    init = plsa_init(X, k, rng=np.random.RandomState(5))
+
+    lls = {}
+    _, _, info = plsa_fit(X, k, backend="xla", init=init, n_iter=n_iter,
+                          n_iter_per_test=19, tolerance=0.0, random_state=0,
+                          return_info=True)
+    lls["dense"] = info["log_likelihood"]
+    _, _, info = plsa_fit(X, k, backend="sparse", init=init, n_iter=n_iter,
+                          n_iter_per_test=19, tolerance=0.0, random_state=0,
+                          return_info=True)
+    lls["sparse"] = info["log_likelihood"]
+    _, _, _, trace = streamed_fit_core(X, k, init=init, block_docs=32,
+                                       n_iter=n_iter, n_iter_per_test=19,
+                                       tolerance=0.0, random_state=0)
+    lls["streamed"] = trace[-1]
+    _, _, _, trace = sparse_mesh_fit(X, k, mesh=make_docs_mesh(4), init=init,
+                                     n_iter=n_iter, n_iter_per_test=19,
+                                     tolerance=0.0, random_state=0)
+    lls["sparse_mesh"] = trace[-1]
+
+    base = lls["dense"]
+    for name, v in lls.items():
+        assert v == pytest.approx(base, rel=2e-4), (name, lls)
