@@ -167,9 +167,10 @@ def pack_chunks(X, bd=DEFAULT_BD, bw=DEFAULT_BW, chunk=None):
         tiles = max((-(-n // bd)) * (-(-m // bw)), 1)
         nnz = X.nnz if issparse(X) else int(np.count_nonzero(np.asarray(X)))
         avg = nnz / tiles
+        # hardware-validated chunk size; larger chunks trip Mosaic layout
+        # bugs (vector<1x4096> multi_reduction INTERNAL errors on v5e)
         chunk = DEFAULT_CHUNK
-        while chunk < min(avg, 4 * DEFAULT_CHUNK):
-            chunk *= 2
+        del avg
     if chunk % 128:
         raise ValueError("chunk size must be a multiple of 128 (lane width)")
 
@@ -285,6 +286,18 @@ def _entry_terms(rows, cols, x, zd_blk, wzT_blk, w_blk, thresh, precision):
     return oh_d, oh_w, zd_g, wz_g, v_used, s_plain, ratio, w_g, x
 
 
+def _sum_1d(x):
+    """Scalar sum of a (C,) vector via a (1,C)@(C,1) dot — Mosaic's
+    vector.multi_reduction on 1-D vectors hits INTERNAL compiler errors on
+    v5e, the MXU reduction does not.  HIGHEST keeps the f32 values exact."""
+    return jax.lax.dot_general(
+        x.reshape(1, -1), jnp.ones((x.shape[0], 1), jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+
+
 def _accumulate_scalar(ll_ref, value, c):
     @pl.when(c == 0)
     def _():
@@ -322,7 +335,7 @@ def _make_word_pass_kernel(compute_ll, thresh, precision):
 
         if compute_ll:
             term = x * jnp.log(jnp.maximum(s_plain, _TINY)) * w_g
-            _accumulate_scalar(ll_ref, jnp.sum(term), c)
+            _accumulate_scalar(ll_ref, _sum_1d(term), c)
         else:
             _accumulate_scalar(ll_ref, jnp.float32(0.0), c)
 
@@ -355,7 +368,7 @@ def _make_doc_pass_kernel(compute_ll, thresh, precision):
 
         if compute_ll:
             term = x * jnp.log(jnp.maximum(s_plain, _TINY)) * w_g
-            _accumulate_scalar(ll_ref, jnp.sum(term), c)
+            _accumulate_scalar(ll_ref, _sum_1d(term), c)
         else:
             _accumulate_scalar(ll_ref, jnp.float32(0.0), c)
 
