@@ -74,12 +74,14 @@ def mesh_layout_multiples(mesh, inner="xla"):
     return rd * 8, cd * 128
 
 
-def _local_accumulators(inner):
+def _local_accumulators(inner, compute_ll=True):
     if inner == "pallas":
         from ..ops import pallas_em
 
         def accum(X, zd, wz, w):
-            return pallas_em.em_accumulators_fused(X, zd, wz, sample_weight=w)
+            return pallas_em.em_accumulators_fused(
+                X, zd, wz, sample_weight=w, compute_ll=compute_ll
+            )
 
     else:
 
@@ -89,9 +91,12 @@ def _local_accumulators(inner):
     return accum
 
 
-def build_sharded_em_step(mesh, inner="xla", weighted=True):
-    """Return a jittable ``(X, zd, wz, w) -> (next_zd, next_wz, ll)`` over the mesh."""
-    accum = _local_accumulators(inner)
+def build_sharded_em_step(mesh, inner="xla", weighted=True, compute_ll=True):
+    """Return a jittable ``(X, zd, wz, w) -> (next_zd, next_wz, ll)`` over the
+    mesh.  With ``compute_ll=False`` the returned scalar is 0 and the pallas
+    inner skips the transcendental log sweep (the folded fit loop only needs
+    LL on chunk-boundary steps)."""
+    accum = _local_accumulators(inner, compute_ll=compute_ll)
 
     @partial(
         shard_map,
@@ -265,26 +270,40 @@ def shard_inputs(mesh, X, zd, wz, w):
 def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):
     """Compiled full-fit program over the mesh: EM loop + convergence entirely
     on-device; only the final factors come back to the host.  Iteration counts
-    are closed over as traced scalars (no recompile when they change)."""
-    em_step = build_sharded_em_step(mesh, inner=inner, weighted=weighted)
+    are closed over as traced scalars (no recompile when they change).  The
+    convergence log-likelihood is FOLDED into the chunk-boundary step (see
+    ops/fit.py:em_fit_loop_folded) — no separate LL sweep over the shards."""
+    from ..ops.fit import em_fit_loop_folded
+
+    em_step_ll = build_sharded_em_step(mesh, inner=inner, weighted=weighted)
+    em_step = build_sharded_em_step(mesh, inner=inner, weighted=weighted,
+                                    compute_ll=False)
     refit_step = build_sharded_refit_step(mesh, inner=inner)
     ll_fn = build_sharded_ll(mesh, inner=inner, weighted=weighted)
 
     @jax.jit
     def run_inner(X, zd, wz, w, tol, n_iter_, npt_):
+        def ll_of(state):
+            return ll_fn(X, state[0], state[1], w)
+
         if refit:
-            def step(state):
+            # the sharded refit step returns LL of its input state (free fold)
+            def step_ll(state):
                 new_zd, ll = refit_step(X, state[0], state[1])
                 return (new_zd, state[1]), ll
+
+            step = step_ll
         else:
+            def step_ll(state):
+                new_zd, new_wz, ll = em_step_ll(X, state[0], state[1], w)
+                return (new_zd, new_wz), ll
+
             def step(state):
                 new_zd, new_wz, ll = em_step(X, state[0], state[1], w)
                 return (new_zd, new_wz), ll
 
-        def ll_of(state):
-            return ll_fn(X, state[0], state[1], w)
-
-        res = em_fit_loop(step, ll_of, (zd, wz), n_iter_, npt_, tol)
+        res = em_fit_loop_folded(step_ll, step, ll_of, (zd, wz),
+                                 n_iter_, npt_, tol)
         return res.state[0], res.state[1], res.n_steps, res.final_ll
 
     def run(X, zd, wz, w, tol):
