@@ -211,7 +211,8 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
     (enstop_.py:209-229) with SPMD over chips; with one device it still wins by
     removing all host dispatch between runs.
     """
-    accum = _local_accumulators(inner)
+    accum_ll = _local_accumulators(inner, compute_ll=True)
+    accum = _local_accumulators(inner, compute_ll=False)
     if inner == "pallas":
         from ..ops import pallas_em
 
@@ -220,6 +221,8 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
         )
     else:
         local_ll = em_ops.log_likelihood_dense
+
+    from ..ops.fit import em_fit_loop_folded
 
     @partial(
         shard_map,
@@ -232,19 +235,22 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
         def one(args):
             zd0, wz0, w = args
 
-            def step(state):
-                zd, wz = state
-                A, B, _ = accum(X, zd, wz, w)
-                num_wz = wz * A
-                new_wz = num_wz / jnp.maximum(num_wz.sum(1, keepdims=True), _TINY)
-                num_zd = zd * B
-                new_zd = num_zd / jnp.maximum(num_zd.sum(1, keepdims=True), _TINY)
-                return (new_zd, new_wz), jnp.float32(0.0)
+            def make_step(acc):
+                def step(state):
+                    zd, wz = state
+                    A, B, ll = acc(X, zd, wz, w)
+                    num_wz = wz * A
+                    new_wz = num_wz / jnp.maximum(num_wz.sum(1, keepdims=True), _TINY)
+                    num_zd = zd * B
+                    new_zd = num_zd / jnp.maximum(num_zd.sum(1, keepdims=True), _TINY)
+                    return (new_zd, new_wz), ll
+                return step
 
             def ll_of(state):
                 return local_ll(X, state[0], state[1], w)
 
-            res = em_fit_loop(step, ll_of, (zd0, wz0), n_iter, npt, tol)
+            res = em_fit_loop_folded(make_step(accum_ll), make_step(accum),
+                                     ll_of, (zd0, wz0), n_iter, npt, tol)
             return res.state[0], res.state[1], res.final_ll, res.n_steps
 
         return lax.map(one, (zds, wzs, ws))
