@@ -74,6 +74,16 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u16p, f32p,
         ]
         lib.densify_csr_rows_bf16.restype = None
+        lib.sell_pack_side.argtypes = [
+            i64p, i32p, f32p, i64p,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, f32p,
+        ]
+        lib.sell_pack_side.restype = None
+        lib.sell_pack_word_side_from_csr.argtypes = [
+            i64p, i32p, f32p, i64p,
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, f32p,
+        ]
+        lib.sell_pack_word_side_from_csr.restype = None
         lib.packer_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -124,6 +134,53 @@ def densify_csr_rows_bf16(X, row_start, row_end, out):
         indptr, indices, data, row_start, row_end, out.shape[1], out, scratch
     )
     return out
+
+
+def sell_pack_side(indptr, indices, data, seg_base, lane, owner, idx, val):
+    """Pack one CSR side into zeroed SELL segment arrays (ops/sell.py layout).
+
+    ``seg_base[r]`` is the first segment row of CSR row ``r`` (exclusive
+    cumsum of per-row segment counts).  Returns True when the native path
+    ran; False means the caller must use its numpy fallback."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sell_pack_side"):
+        return False
+    n_rows = seg_base.shape[0]
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    seg_base = np.ascontiguousarray(seg_base, dtype=np.int64)
+    assert owner.flags["C_CONTIGUOUS"] and idx.flags["C_CONTIGUOUS"] and val.flags["C_CONTIGUOUS"]
+    lib.sell_pack_side(
+        indptr, indices, data, seg_base, n_rows, lane,
+        owner, idx.reshape(-1), val.reshape(-1),
+    )
+    return True
+
+
+def sell_pack_word_side_from_csr(indptr, indices, data, seg_base, lane,
+                                 owner, idx, val):
+    """Counting-sort transpose of a CSR matrix straight into zeroed word-major
+    SELL arrays, fused with segment packing (skips scipy ``tocsc``).
+
+    ``seg_base[c]`` = first segment row of column c.  Returns True when the
+    native path ran; False means the caller must transpose + pack itself."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sell_pack_word_side_from_csr"):
+        return False
+    n_rows = indptr.shape[0] - 1
+    n_cols = seg_base.shape[0]
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    seg_base = np.ascontiguousarray(seg_base, dtype=np.int64)
+    fill_pos = np.zeros(n_cols, np.int64)
+    assert owner.flags["C_CONTIGUOUS"] and idx.flags["C_CONTIGUOUS"] and val.flags["C_CONTIGUOUS"]
+    lib.sell_pack_word_side_from_csr(
+        indptr, indices, data, seg_base, n_rows, lane, fill_pos,
+        owner, idx.reshape(-1), val.reshape(-1),
+    )
+    return True
 
 
 def densify_csr_gather(X, sample_ids, out):

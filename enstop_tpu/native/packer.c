@@ -65,6 +65,76 @@ void densify_csr_gather(
     }
 }
 
+/* Pack one CSR side into SELL segment arrays (see ops/sell.py): each row's
+ * nonzeros split into lane-wide segments at segment rows
+ * [seg_base[r], seg_base[r+1]).  Outputs are zeroed by the caller (padding
+ * lanes/rows must stay zero).  Rows write disjoint segment ranges, so the
+ * row loop parallelizes without synchronization; per-row writes are
+ * sequential (the numpy equivalent is a 19M-element fancy-index scatter). */
+void sell_pack_side(
+    const int64_t *indptr,
+    const int32_t *indices,
+    const float *data,
+    const int64_t *seg_base,
+    int64_t n_rows,
+    int64_t lane,
+    int32_t *owner,
+    int32_t *idx,
+    float *val)
+{
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t lo = indptr[r];
+        const int64_t hi = indptr[r + 1];
+        int64_t seg = seg_base[r];
+        for (int64_t p = lo; p < hi; p += lane, ++seg) {
+            const int64_t cnt = (hi - p < lane) ? (hi - p) : lane;
+            owner[seg] = (int32_t)r;
+            memcpy(idx + seg * lane, indices + p, (size_t)cnt * sizeof(int32_t));
+            memcpy(val + seg * lane, data + p, (size_t)cnt * sizeof(float));
+        }
+    }
+}
+
+/* Pack the word-major SELL side straight from CSR — a counting-sort
+ * transpose fused with segment packing, skipping the scipy tocsc()
+ * materialization (the dominant cost of dual-side packing at scale).
+ *
+ * seg_base[c] is the first segment row of column c (exclusive cumsum of
+ * per-column ceil(count/lane), computed by the caller from a bincount);
+ * fill_pos is a zeroed int64 scratch of n_cols running per-column positions.
+ * Scanning CSR row-by-row visits each column's entries in increasing row
+ * order, so the output matches packing a sorted-indices CSC exactly.
+ * Serial by construction (fill_pos is carried state); the scattered writes
+ * land within one lane-row of each column's current segment, so locality is
+ * the same as scipy's tocsc pass but with zero extra materialization. */
+void sell_pack_word_side_from_csr(
+    const int64_t *indptr,
+    const int32_t *indices,
+    const float *data,
+    const int64_t *seg_base,
+    int64_t n_rows,
+    int64_t lane,
+    int64_t *fill_pos,
+    int32_t *owner,
+    int32_t *idx,
+    float *val)
+{
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t lo = indptr[r];
+        const int64_t hi = indptr[r + 1];
+        for (int64_t p = lo; p < hi; ++p) {
+            const int32_t c = indices[p];
+            const int64_t fp = fill_pos[c]++;
+            const int64_t seg = seg_base[c] + fp / lane;
+            const int64_t lp = fp % lane;
+            owner[seg] = c;
+            idx[seg * lane + lp] = (int32_t)r;
+            val[seg * lane + lp] = data[p];
+        }
+    }
+}
+
 int packer_num_threads(void)
 {
 #ifdef _OPENMP

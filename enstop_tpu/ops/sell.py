@@ -90,19 +90,29 @@ def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
     val = np.zeros((R_pad, lane), np.float32)
 
     if R:
-        owner[:R] = np.repeat(np.arange(n_rows, dtype=np.int32), segs_r)
-        nnz = int(indptr[-1])
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nnz_r)
-        within = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1].astype(np.int64), nnz_r)
         seg_base = np.concatenate([[0], np.cumsum(segs_r)])[:-1]
-        seg_row = seg_base[row_of] + within // lane
-        lane_pos = within % lane
-        idx[seg_row, lane_pos] = indices.astype(np.int32)
-        val[seg_row, lane_pos] = data.astype(np.float32)
+        from .. import native
+
+        if not native.sell_pack_side(indptr, indices, data, seg_base, lane,
+                                     owner, idx, val):
+            # numpy fallback: one fancy-index scatter over all nnz
+            owner[:R] = np.repeat(np.arange(n_rows, dtype=np.int32), segs_r)
+            nnz = int(indptr[-1])
+            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), nnz_r)
+            within = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1].astype(np.int64), nnz_r)
+            seg_row = seg_base[row_of] + within // lane
+            lane_pos = within % lane
+            idx[seg_row, lane_pos] = indices.astype(np.int32)
+            val[seg_row, lane_pos] = data.astype(np.float32)
 
     if not build_table:
         return owner, idx, val, None
-    # gather-form segment table: seg_table[d, j] = j-th segment row of d, else R_pad
+    return owner, idx, val, _seg_table(segs_r, n_rows, R, R_pad)
+
+
+def _seg_table(segs_r, n_rows, R, R_pad):
+    """Gather-form segment table: seg_table[d, j] = j-th segment row of d,
+    else R_pad (the appended zero row)."""
     S = max(int(segs_r.max()) if R else 1, 1)
     seg_table = np.full((n_rows, S), R_pad, np.int32)
     if R:
@@ -110,7 +120,30 @@ def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
         for_rows = np.repeat(np.arange(n_rows, dtype=np.int64), segs_r)
         j = np.arange(R, dtype=np.int64) - seg_base[for_rows]
         seg_table[for_rows, j] = np.arange(R, dtype=np.int32)
-    return owner, idx, val, seg_table
+    return seg_table
+
+
+def _pack_word_side_fused(Xcsr, m, lane, build_table):
+    """Word-major side straight from CSR via the native counting-sort
+    transpose (no ``tocsc`` materialization).  None -> caller falls back."""
+    from .. import native
+
+    counts = np.bincount(Xcsr.indices, minlength=m).astype(np.int64)
+    segs_r = -(-counts // lane)
+    R = int(segs_r.sum())
+    R_pad = max(round_up(R, 8), 8)
+    owner = np.zeros(R_pad, np.int32)
+    idx = np.zeros((R_pad, lane), np.int32)
+    val = np.zeros((R_pad, lane), np.float32)
+    if R:
+        seg_base = np.concatenate([[0], np.cumsum(segs_r)])[:-1]
+        if not native.sell_pack_word_side_from_csr(
+            Xcsr.indptr, Xcsr.indices, Xcsr.data, seg_base, lane,
+            owner, idx, val,
+        ):
+            return None
+    table = _seg_table(segs_r, m, R, R_pad) if build_table else None
+    return owner, idx, val, table
 
 
 def _auto_lane(nnz, n_rows):
@@ -145,10 +178,13 @@ def pack_sell(X, lane=None, build_tables=False):
     row_doc, cols_a, vals_a, doc_segs = _pack_one_side(
         Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane_docs, build_tables
     )
-    Xcsc = Xcsr.tocsc()
-    col_word, rows_b, vals_b, word_segs = _pack_one_side(
-        Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane_words, build_tables
-    )
+    word = _pack_word_side_fused(Xcsr, m, lane_words, build_tables)
+    if word is None:
+        Xcsc = Xcsr.tocsc()
+        word = _pack_one_side(
+            Xcsc.indptr, Xcsc.indices, Xcsc.data, m, lane_words, build_tables
+        )
+    col_word, rows_b, vals_b, word_segs = word
     return SellSides(
         row_doc=row_doc, cols_a=cols_a, vals_a=vals_a,
         col_word=col_word, rows_b=rows_b, vals_b=vals_b,

@@ -30,6 +30,35 @@ def test_gather_matches_numpy(rng):
     np.testing.assert_array_equal(out, want)
 
 
+def test_sell_pack_native_matches_numpy(rng, monkeypatch):
+    """Both native SELL packers (per-side + fused CSR->word-major transpose)
+    must reproduce the numpy scatter bit-for-bit, incl. empty rows/cols."""
+    from enstop_tpu.ops import sell as sell_ops
+
+    n, m, nnz = 500, 310, 6000
+    rows = rng.randint(0, n - 25, nnz).astype(np.int32)  # trailing rows empty
+    cols = ((m - 30) * (rng.random_sample(nnz) ** 2)).astype(np.int32)
+    vals = rng.randint(1, 6, nnz).astype(np.float32)
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
+    X.sum_duplicates()
+
+    for build_tables in (False, True):
+        got = sell_ops.pack_sell(X, build_tables=build_tables)
+        monkeypatch.setattr(native, "sell_pack_side", lambda *a, **k: False)
+        monkeypatch.setattr(native, "sell_pack_word_side_from_csr",
+                            lambda *a, **k: False)
+        want = sell_ops.pack_sell(X, build_tables=build_tables)
+        monkeypatch.undo()
+        for attr in ("row_doc", "cols_a", "vals_a", "col_word", "rows_b",
+                     "vals_b"):
+            np.testing.assert_array_equal(
+                getattr(got, attr), getattr(want, attr), err_msg=attr
+            )
+        if build_tables:
+            np.testing.assert_array_equal(got.doc_segs, want.doc_segs)
+            np.testing.assert_array_equal(got.word_segs, want.word_segs)
+
+
 def test_fallback_paths(rng, monkeypatch):
     monkeypatch.setattr(native, "get_lib", lambda: None)
     X = _csr(rng)
