@@ -158,16 +158,81 @@ def _layout_multiples(backend, n, m):
     return 8, 128
 
 
-def _stage_dense(X, backend, x_dtype):
-    """Densify + pad + ship once.  bf16 targets densify STRAIGHT into a bf16
-    buffer via the native packer (half the host traffic, half the H2D, no f32
-    staging copy — which alone can exceed device memory at large vocab)."""
+# Device-densify staging: pad the COO nnz to bucket multiples so repeated
+# prepares (warmup fits, bootstrap ensembles, slightly-grown corpora) reuse
+# one compiled scatter program instead of recompiling per exact nnz.
+_DENSIFY_NNZ_BUCKET = 1 << 16
+
+
+@lru_cache(maxsize=16)
+def _device_densify_fn(n_pad, m_pad, out_bf16):
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+
+    @jax.jit
+    def densify(rows, cols, vals):
+        base = jnp.zeros((n_pad, m_pad), out_dtype)
+        # CSR-ordered entries with end-padding keep the indices sorted;
+        # padding lanes carry val 0.0 (add is a no-op wherever they land),
+        # bf16 adds are exact: each real (row, col) is unique post
+        # sum_duplicates and bf16 eligibility guarantees representable counts
+        return base.at[rows, cols].add(
+            vals.astype(out_dtype), indices_are_sorted=True
+        )
+
+    return densify
+
+
+def _stage_dense_via_device(X, n_pad, m_pad, n, m, x_dtype):
+    """Ship the corpus as COO (O(nnz) bytes) and densify on device with one
+    scatter program — the padded-dense H2D transfer is the staging bottleneck
+    on thin links (20NG: 0.97 GB bf16 dense vs ~30 MB of nonzeros)."""
+    from .data import round_up
+
+    Xc = X.tocsr()
+    Xc.sum_duplicates()
+    coo = Xc.tocoo()
+    nnz = int(coo.nnz)
+    nnz_pad = max(round_up(max(nnz, 1), _DENSIFY_NNZ_BUCKET), _DENSIFY_NNZ_BUCKET)
+    rows = np.full(nnz_pad, min(n, n_pad - 1), np.int32)
+    cols = np.full(nnz_pad, m_pad - 1, np.int32)
+    vals = np.zeros(nnz_pad, np.float32)
+    rows[:nnz] = coo.row
+    cols[:nnz] = coo.col
+    vals[:nnz] = coo.data
+    fn = _device_densify_fn(n_pad, m_pad, bool(_is_bf16(x_dtype)))
+    return fn(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals))
+
+
+def _device_densify_worthwhile(X, n_pad, m_pad, x_dtype):
+    """Stage via device scatter when the COO bytes are well under the dense
+    bytes (x8 margin: the scatter program costs a compile + a device pass)."""
+    from scipy.sparse import issparse
+
+    if not issparse(X):
+        return False
+    dense_bytes = n_pad * m_pad * (2 if _is_bf16(x_dtype) else 4)
+    coo_bytes = (X.nnz + _DENSIFY_NNZ_BUCKET) * 12
+    return coo_bytes * 8 < dense_bytes
+
+
+def _stage_dense(X, backend, x_dtype, stage="auto"):
+    """Densify + pad + ship once.  ``stage="auto"`` ships sparse corpora as
+    COO nonzeros and densifies ON DEVICE (O(nnz) H2D instead of the full
+    rectangle); ``"host"`` forces the native host densify + dense transfer;
+    ``"device"`` forces the scatter path."""
     from scipy.sparse import issparse
 
     from .data import round_up
 
     rm, cm = _layout_multiples(backend, *X.shape)
     n, m = X.shape
+    if stage != "host" and issparse(X):
+        n_pad = round_up(max(n, 1), rm)
+        m_pad = round_up(max(m, 1), cm)
+        if stage == "device" or _device_densify_worthwhile(X, n_pad, m_pad, x_dtype):
+            return (
+                _stage_dense_via_device(X, n_pad, m_pad, n, m, x_dtype), n, m
+            )
     if _is_bf16(x_dtype) and issparse(X):
         import ml_dtypes
 
@@ -237,7 +302,8 @@ def _resolve_x_dtype(X, x_dtype, will_standardize=True):
     return np.float32
 
 
-def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
+def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True,
+                   stage="auto"):
     """Densify, pad, and ship a count matrix to the device once.
 
     ``x_dtype``: ``"auto"`` (default) stores the device copy in bf16 exactly
@@ -245,6 +311,10 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
     HBM stream with bit-identical results; ``"bfloat16"`` forces bf16 (larger
     counts / normalized floats round to 8 mantissa bits — fine for topic
     quality, not for strict LL parity); any float dtype forces f32.
+
+    ``stage``: ``"auto"`` (default) ships sparse corpora as O(nnz) COO bytes
+    and densifies on device (the full-rectangle H2D is the staging bottleneck);
+    ``"host"``/``"device"`` force a path.
     """
     from ..utils import standardize_input
 
@@ -256,7 +326,7 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True):
         # instead fits raw float32 counts (enstop_.py:527) and passes
         # standardize=False.
         X = standardize_input(X)
-    dev, n, m = _stage_dense(X, backend, x_dtype)
+    dev, n, m = _stage_dense(X, backend, x_dtype, stage=stage)
     return PreparedCounts(dev, n, m, _nnz_of(X), backend)
 
 

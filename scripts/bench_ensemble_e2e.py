@@ -44,19 +44,30 @@ def main():
                            parallelism=par, random_state=0).fit(X)
             print(f"# sharded warmup {time.time()-t0:.1f}s", file=sys.stderr,
                   flush=True)
-        t0 = time.time()
-        model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
-                               parallelism=par, random_state=42).fit(X)
-        wall = time.time() - t0
-        print(json.dumps({
-            "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}",
-            "value": round(wall, 2),
-            "n_components_": int(model.n_components_),
-            "stages": {k: round(v, 2) for k, v in
-                       getattr(ensemble_fit, "last_timings", {}).items()},
-            "reference_wall_s": 183.0,
-            "speedup": round(183.0 / wall, 1),
-        }))
+        reps = 3 if par == "weights" else 1
+        walls = []
+        for rep in range(reps):
+            t0 = time.time()
+            model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
+                                   parallelism=par, random_state=42).fit(X)
+            wall = time.time() - t0
+            walls.append(wall)
+            print(json.dumps({
+                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}",
+                "rep": rep,
+                "value": round(wall, 2),
+                "n_components_": int(model.n_components_),
+                "stages": {k: round(v, 2) for k, v in
+                           getattr(ensemble_fit, "last_timings", {}).items()},
+                "reference_wall_s": 183.0,
+                "speedup": round(183.0 / wall, 1),
+            }))
+        if reps > 1:
+            print(json.dumps({
+                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}_best",
+                "value": round(min(walls), 2),
+                "median": round(sorted(walls)[len(walls) // 2], 2),
+            }))
 
 
 if __name__ == "__main__":
