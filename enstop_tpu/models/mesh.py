@@ -36,6 +36,22 @@ def _inner_kind(backend):
     return "pallas" if resolve_backend(backend) == "pallas" else "xla"
 
 
+def _stage_on_mesh(X, mesh, inner):
+    """Sparse corpora ship as per-tile COO and densify on device (host and
+    H2D stay O(nnz)); dense array inputs take the padded host path."""
+    from scipy.sparse import issparse
+
+    if issparse(X):
+        return mesh_lib.stage_sharded_counts(mesh, X, inner=inner)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rm, cm = mesh_lib.mesh_layout_multiples(mesh, inner)
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    Xs = jax.device_put(Xd, NamedSharding(mesh, P("docs", "vocab")))
+    return Xs, n, m
+
+
 def _fit_on_mesh(
     X,
     k,
@@ -53,17 +69,17 @@ def _fit_on_mesh(
     rng = check_random_state(random_state)
     pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
 
-    rm, cm = mesh_lib.mesh_layout_multiples(mesh, inner)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
-    zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
+    Xs, n, m = _stage_on_mesh(X, mesh, inner)
+    n_pad, m_pad = Xs.shape
+    zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
 
     weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))
     w = pad_vector(
         np.asarray(sample_weight, np.float32) if weighted else np.ones(n, np.float32),
-        Xd.shape[0],
+        n_pad,
     )
 
-    Xs, zds, wzs, ws = mesh_lib.shard_inputs(mesh, Xd, zd, wz, w)
+    zds, wzs, ws = mesh_lib.shard_factors(mesh, zd, wz, w)
     run = mesh_lib.build_sharded_fit(
         mesh, inner, weighted, int(n_iter), int(n_iter_per_test)
     )
@@ -81,13 +97,13 @@ def _refit_on_mesh(X, topics, mesh, inner, n_iter=50, n_iter_per_test=5,
     pzd0 = rng.rand(X.shape[0], k)
     pzd0 /= pzd0.sum(axis=1, keepdims=True)
 
-    rm, cm = mesh_lib.mesh_layout_multiples(mesh, inner)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    Xs, n, m = _stage_on_mesh(X, mesh, inner)
+    n_pad, m_pad = Xs.shape
     zd, wz = pad_factors(
-        pzd0.astype(np.float32), np.asarray(topics, np.float32), Xd.shape[0], Xd.shape[1]
+        pzd0.astype(np.float32), np.asarray(topics, np.float32), n_pad, m_pad
     )
-    w = np.ones(Xd.shape[0], np.float32)
-    Xs, zds, wzs, ws = mesh_lib.shard_inputs(mesh, Xd, zd, wz, w)
+    w = np.ones(n_pad, np.float32)
+    zds, wzs, ws = mesh_lib.shard_factors(mesh, zd, wz, w)
     run = mesh_lib.build_sharded_fit(
         mesh, inner, False, int(n_iter), int(n_iter_per_test), refit=True
     )

@@ -262,15 +262,96 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
     return run
 
 
-def shard_inputs(mesh, X, zd, wz, w):
-    """Place padded host arrays onto the mesh with the canonical shardings."""
+def shard_factors(mesh, zd, wz, w):
+    """Place padded factor/weight host arrays onto the mesh."""
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     return (
-        put(X, P("docs", "vocab")),
         put(zd, P("docs", None)),
         put(wz, P(None, "vocab")),
         put(w, P("docs")),
     )
+
+
+def shard_inputs(mesh, X, zd, wz, w):
+    """Place padded host arrays onto the mesh with the canonical shardings."""
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    return (put(X, P("docs", "vocab")),) + shard_factors(mesh, zd, wz, w)
+
+
+# pad each tile's nnz to bucket multiples so slightly different corpora reuse
+# the compiled per-tile scatter program
+_TILE_NNZ_BUCKET = 1 << 14
+
+
+def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
+    """Ship a sparse corpus as per-tile COO nonzeros and densify ON DEVICE
+    under ``shard_map`` — the dense padded rectangle never exists on the host
+    and never crosses the link (host memory and H2D are O(nnz); the reference
+    mesh analog materializes every padded tile host-side,
+    block_parallel_plsa.py:373-403).
+
+    Returns ``(Xs, n, m)`` with ``Xs`` sharded ``P("docs", "vocab")`` exactly
+    as :func:`shard_inputs` would produce from the dense host path.
+    """
+    from scipy.sparse import issparse, csr_matrix
+
+    from ..ops.data import round_up
+
+    if not issparse(X):
+        X = csr_matrix(np.asarray(X))
+    Xc = X.tocsr()
+    Xc.sum_duplicates()
+    n, m = Xc.shape
+    rm, cm = mesh_layout_multiples(mesh, inner)
+    n_pad, m_pad = round_up(max(n, 1), rm), round_up(max(m, 1), cm)
+    R, C = mesh.shape["docs"], mesh.shape["vocab"]
+    tr, tc = n_pad // R, m_pad // C
+
+    coo = Xc.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    tile = (rows // tr) * C + (cols // tc)
+    order = np.argsort(tile, kind="stable")  # CSR order within a tile survives
+    rows, cols, vals = rows[order], cols[order], coo.data[order]
+    tile = tile[order]
+
+    counts = np.bincount(tile, minlength=R * C)
+    L = max(round_up(int(counts.max()) if counts.size else 1, _TILE_NNZ_BUCKET),
+            _TILE_NNZ_BUCKET)
+    # padding lanes: val 0.0 at the tile's last cell — keeps local indices
+    # sorted and the add a no-op
+    lr = np.full((R * C, L), tr - 1, np.int32)
+    lc = np.full((R * C, L), tc - 1, np.int32)
+    lv = np.zeros((R * C, L), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(rows.shape[0], dtype=np.int64) - starts[tile]
+    lr[tile, within] = (rows % tr).astype(np.int32)
+    lc[tile, within] = (cols % tc).astype(np.int32)
+    lv[tile, within] = vals.astype(np.float32)
+
+    put = lambda a: jax.device_put(
+        a.reshape(R, C, L), NamedSharding(mesh, P("docs", "vocab", None))
+    )
+    out_bf16 = str(x_dtype) in ("bfloat16", "bf16") or getattr(
+        x_dtype, "__name__", ""
+    ) == "bfloat16"
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("docs", "vocab", None),) * 3,
+        out_specs=P("docs", "vocab"),
+        check_vma=False,
+    )
+    def densify(lr, lc, lv):
+        base = jnp.zeros((tr, tc), out_dtype)
+        return base.at[lr[0, 0], lc[0, 0]].add(
+            lv[0, 0].astype(out_dtype), indices_are_sorted=True
+        )
+
+    return densify(put(lr), put(lc), put(lv)), n, m
 
 
 def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):

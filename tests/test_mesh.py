@@ -121,3 +121,35 @@ def test_sharded_step_with_pallas_inner_interpret(small_corpus):
     np.testing.assert_allclose(np.asarray(got_zd), np.asarray(want_zd), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_wz), np.asarray(want_wz), rtol=1e-4, atol=1e-6)
     assert float(got_ll) == pytest.approx(float(want_ll), rel=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_stage_sharded_counts_matches_dense(shape, small_corpus):
+    """Per-tile COO ship + on-device scatter == host densify, on every mesh
+    geometry (host memory stays O(nnz); the dense rectangle exists only
+    sharded in device memory)."""
+    mesh = mesh_lib.make_mesh(*shape)
+    X = sp.csr_matrix(small_corpus)
+    Xs, n, m = mesh_lib.stage_sharded_counts(mesh, X)
+    rm, cm = mesh_lib.mesh_layout_multiples(mesh, "xla")
+    Xd, n2, m2 = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    assert (n, m) == (n2, m2) and Xs.shape == Xd.shape
+    np.testing.assert_array_equal(np.asarray(Xs), Xd)
+
+
+def test_mesh_fit_through_sparse_staging_matches_flat(small_corpus):
+    """Full sharded fit from the sparse-staged corpus tracks the flat fit."""
+    from enstop_tpu.models.mesh import BlockParallelPLSA
+    from enstop_tpu.models.plsa import PLSA
+    from enstop_tpu.ops.init import plsa_init as pinit
+
+    X = sp.csr_matrix(small_corpus)
+    pzd0, pwz0 = pinit(X, 4, rng=np.random.RandomState(3))
+    flat = PLSA(n_components=4, init=(pzd0, pwz0), n_iter=15, backend="xla").fit(X)
+    blocked = BlockParallelPLSA(
+        n_components=4, init=(pzd0, pwz0), n_row_blocks=4, n_col_blocks=2,
+        n_iter=15,
+    ).fit(X)
+    np.testing.assert_allclose(
+        blocked.components_, flat.components_, rtol=5e-3, atol=1e-5
+    )
