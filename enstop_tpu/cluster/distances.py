@@ -59,10 +59,18 @@ def _hellinger_matrix(T):
     return d
 
 
+def _as_device_f32(distributions):
+    # a jax array stays on device (no host round-trip: the ensemble fan-out
+    # hands over device-resident topic stacks)
+    if isinstance(distributions, jax.Array):
+        return distributions.astype(jnp.float32)
+    return jnp.asarray(np.asarray(distributions, dtype=np.float32))
+
+
 def all_pairs_hellinger_distance(distributions):
     """Pairwise Hellinger distances (reference enstop_.py:257-263)."""
-    T = jnp.asarray(np.asarray(distributions, dtype=np.float32))
-    out = np.asarray(_hellinger_matrix(T), dtype=np.float64)
+    out = np.asarray(_hellinger_matrix(_as_device_f32(distributions)),
+                     dtype=np.float64)
     np.fill_diagonal(out, 0.0)
     return out
 
@@ -85,7 +93,7 @@ def _kl_matrix(T):
 
 def all_pairs_kl_divergence(distributions):
     """Pairwise KL divergences in bits (reference enstop_.py:234-253)."""
-    T = jnp.asarray(np.asarray(distributions, dtype=np.float32))
-    out = np.asarray(_kl_matrix(T), dtype=np.float64)
+    out = np.asarray(_kl_matrix(_as_device_f32(distributions)),
+                     dtype=np.float64)
     np.fill_diagonal(out, 0.0)
     return out

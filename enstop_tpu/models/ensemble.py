@@ -204,7 +204,9 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         w = pad_vector(counts, n_pad)
         _, wz_f, _, _ = run(Xdev, zd, wz, w, tol)
         pending.append(wz_f)
-    return np.vstack([np.asarray(wz_f)[:k, :m] for wz_f in pending])
+    # the (n_runs·k, m) stack stays ON DEVICE: the combiner's distance matrix
+    # and merge are device matmuls, so only small matrices ever come back
+    return jnp.concatenate([wz_f[:k, :m] for wz_f in pending], axis=0)
 
 
 def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
@@ -230,7 +232,7 @@ def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
             n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
         )
         pending.append(wz_f)
-    return np.vstack([np.asarray(w)[:k, :m] for w in pending])
+    return jnp.concatenate([w[:k, :m] for w in pending], axis=0)
 
 
 def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
@@ -282,8 +284,8 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         Xs, zds, wzs, ws, jnp.float32(tolerance),
         jnp.int32(n_iter), jnp.int32(n_iter_per_test),
     )
-    wz_f = np.asarray(wz_f)  # (n_runs, kp, m_pad)
-    return wz_f[:, :k, :m].reshape(n_runs * k, m)
+    # (n_runs, kp, m_pad) sharded over the runs mesh -> device-resident stack
+    return jnp.reshape(wz_f[:, :k, :m], (n_runs * k, m))
 
 
 def ensemble_of_topics(
@@ -361,10 +363,39 @@ def ensemble_of_topics(
 # topic combiners (reference enstop_.py:266-414)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _merge_topics_device(T, W):
+    """Device merge: ``W`` is the (n_clusters, n_topics) row-normalized
+    membership-weight matrix; the sqrt-average is one MXU matmul."""
+    avg = jnp.dot(W, jnp.sqrt(jnp.maximum(T, 0.0)),
+                  preferred_element_type=jnp.float32)
+    sq = avg * avg
+    return sq / jnp.maximum(sq.sum(axis=1, keepdims=True), 1e-30)
+
+
 def _merge_topics_by_label(all_topics, labels, weights=None):
     """Cluster merge rule: squared (weighted) mean of sqrt topic vectors,
-    renormalized (reference enstop_.py:310-313, 346-349, 396-406)."""
-    n_clusters = labels.max() + 1
+    renormalized (reference enstop_.py:310-313, 346-349, 396-406).
+
+    Device-resident topic stacks (jax arrays, as produced by the ensemble
+    fan-out) are merged ON DEVICE — the ``n_runs·k × n_words`` stack never
+    crosses to the host; only the small stable-topic matrix comes back."""
+    n_clusters = int(labels.max()) + 1
+    if isinstance(all_topics, jax.Array):
+        # pad the cluster axis to multiples of 8 so the merge program is
+        # reused across nearby discovered-topic counts (remote compiles are
+        # expensive); zero rows fall away on the host slice
+        from ..ops.data import round_up
+
+        kc = round_up(n_clusters, 8)
+        W = np.zeros((kc, all_topics.shape[0]), np.float32)
+        for i in range(n_clusters):
+            mask = labels == i
+            w = weights[mask] if weights is not None else np.ones(mask.sum())
+            if weights is not None and w.sum() <= 0:
+                w = np.ones(mask.sum())
+            W[i, mask] = w / w.sum()
+        return np.asarray(_merge_topics_device(all_topics, jnp.asarray(W)))[:n_clusters]
     result = np.empty((n_clusters, all_topics.shape[1]), dtype=np.float32)
     for i in range(n_clusters):
         mask = labels == i

@@ -210,3 +210,23 @@ def test_ensemble_accepts_prepared_counts(corpus):
     emb = model.fit_transform(prep)
     assert emb.shape[0] == corpus.shape[0]
     assert model.training_data_ is None
+
+
+def test_device_merge_matches_numpy(rng):
+    """The on-device sqrt-mean^2 merge must match the numpy rule exactly."""
+    import jax.numpy as jnp
+
+    from enstop_tpu.models.ensemble import _merge_topics_by_label
+
+    T = rng.rand(48, 300).astype(np.float32)
+    T /= T.sum(axis=1, keepdims=True)
+    labels = rng.randint(-1, 5, 48)  # includes noise points
+    weights = rng.rand(48).astype(np.float64)
+    weights[labels == 2] = 0.0  # zero-weight cluster exercises the fallback
+    a = _merge_topics_by_label(jnp.asarray(T), labels, weights=weights)
+    b = _merge_topics_by_label(T, labels, weights=weights)
+    assert isinstance(a, np.ndarray) and a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+    c = _merge_topics_by_label(jnp.asarray(T), labels)
+    d = _merge_topics_by_label(T, labels)
+    np.testing.assert_allclose(c, d, rtol=2e-5, atol=1e-7)
