@@ -153,6 +153,93 @@ def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
     return emb
 
 
+def _layout_fn(n, dim, Ep, nsr):
+    """One compiled SGD-layout program per (n points, dim, padded edges,
+    negative-sample rate): the whole epoch loop is a single device program."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(emb, h, t, eps, a, b, n_epochs, alpha0, key):
+        nf = jnp.float32(n_epochs)
+
+        def body(epoch, carry):
+            emb, next_epoch, key = carry
+            alpha = alpha0 * (1.0 - epoch.astype(jnp.float32) / nf)
+            active = next_epoch <= epoch.astype(jnp.float32) + 1.0
+
+            d = emb[h] - emb[t]
+            dsq = (d * d).sum(1)
+            gc = jnp.where(
+                dsq > 0,
+                (-2.0 * a * b * dsq ** (b - 1.0)) / (a * dsq ** b + 1.0),
+                0.0,
+            )
+            g = jnp.clip(gc[:, None] * d, -4.0, 4.0) * active[:, None]
+            emb = emb.at[h].add(alpha * g).at[t].add(-alpha * g)
+
+            for _ in range(nsr):
+                key, k2 = jax.random.split(key)
+                neg = jax.random.randint(k2, (Ep,), 0, n)
+                d = emb[h] - emb[neg]
+                dsq = (d * d).sum(1)
+                rep = jnp.where(
+                    dsq > 0,
+                    (2.0 * b) / ((0.001 + dsq) * (a * dsq ** b + 1.0)),
+                    0.0,
+                )
+                mask = ((neg != h) & active).astype(jnp.float32)
+                g = jnp.clip(rep[:, None] * d, -4.0, 4.0) * mask[:, None]
+                emb = emb.at[h].add(alpha * g)
+
+            next_epoch = jnp.where(active, next_epoch + eps, next_epoch)
+            return emb, next_epoch, key
+
+        emb, _, _ = jax.lax.fori_loop(0, n_epochs, body, (emb, eps, key))
+        return emb
+
+    return run
+
+
+_layout_fn_cache = {}
+
+
+def _optimize_layout_device(emb, W, n_epochs, a, b, seed,
+                            negative_sample_rate=5, initial_alpha=1.0):
+    """The same SGD as :func:`_optimize_layout` as ONE compiled device program
+    (lax.fori_loop over epochs, fixed padded edge list, jax PRNG negatives).
+    Same update schedule and gradient math; the negative-sample random stream
+    differs from the numpy path — equivalent for clustering purposes, like the
+    numpy path's own deviation from umap-learn's Hogwild."""
+    import jax
+    import jax.numpy as jnp
+
+    heads, tails = np.nonzero(W)
+    weights = W[heads, tails]
+    if heads.size == 0:
+        return emb
+    eps_per_sample = (weights.max() / np.maximum(weights, 1e-12)).astype(np.float32)
+    E = heads.size
+    Ep = max(-(-E // 1024) * 1024, 1024)
+    h = np.zeros(Ep, np.int32)
+    t = np.zeros(Ep, np.int32)
+    e0 = np.full(Ep, np.float32(np.inf))  # padding edges never activate
+    h[:E], t[:E], e0[:E] = heads, tails, eps_per_sample
+
+    key = (emb.shape[0], emb.shape[1], Ep, int(negative_sample_rate))
+    fn = _layout_fn_cache.get(key)
+    if fn is None:
+        fn = _layout_fn(*key)
+        _layout_fn_cache[key] = fn
+    out = fn(
+        jnp.asarray(emb, jnp.float32), jnp.asarray(h), jnp.asarray(t),
+        jnp.asarray(e0), jnp.float32(a), jnp.float32(b),
+        jnp.int32(n_epochs), jnp.float32(initial_alpha),
+        jax.random.PRNGKey(seed % (2 ** 31 - 1)),
+    )
+    return np.asarray(out, np.float64)
+
+
 def umap_embed(
     X=None,
     dmat=None,
@@ -163,9 +250,13 @@ def umap_embed(
     spread=1.0,
     n_epochs=None,
     random_state=None,
+    layout="auto",
 ):
     """Embed points to ``n_components`` dims. Provide either a precomputed distance
-    matrix or data + a metric callable (rows assumed l1-normalized for hellinger)."""
+    matrix or data + a metric callable (rows assumed l1-normalized for hellinger).
+
+    ``layout``: ``"auto"`` runs the SGD as one compiled device program on TPU
+    and in numpy elsewhere; ``"device"``/``"host"`` force a path."""
     rng = check_random_state(random_state)
     if dmat is None:
         if callable(metric):
@@ -196,8 +287,13 @@ def umap_embed(
     emb = _spectral_init(W, n_components, rng)
     a, b = find_ab_params(spread, min_dist)
     seed = rng.randint(np.iinfo(np.int32).max)
-    emb = _optimize_layout(emb, W, n_epochs, a, b, np.random.RandomState(seed))
-    return emb
+    if layout == "auto":
+        import jax
+
+        layout = "device" if jax.default_backend() == "tpu" else "host"
+    if layout == "device":
+        return _optimize_layout_device(emb, W, n_epochs, a, b, seed)
+    return _optimize_layout(emb, W, n_epochs, a, b, np.random.RandomState(seed))
 
 
 class UMAP:

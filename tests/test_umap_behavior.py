@@ -117,3 +117,58 @@ def test_embedding_separates_groups_better_than_noise():
     within = ed[same & off_diag].mean()
     between = ed[~same].mean()
     assert between > 3 * within, f"between {between:.3f} vs within {within:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# device-layout SGD (the compiled fori_loop program used on TPU) must pass the
+# same behavioral gates as the numpy path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_device_layout_trustworthiness(seed):
+    T = _topic_stack(seed, n_groups=5, copies=10)
+    dmat = np.asarray(all_pairs_hellinger_distance(T), dtype=np.float64)
+    dmat = (dmat + dmat.T) / 2
+    np.fill_diagonal(dmat, 0)
+    emb = umap_embed(dmat=dmat, n_components=5, n_neighbors=10,
+                     random_state=seed, layout="device")
+    tw = trustworthiness(dmat, emb, n_neighbors=8, metric="precomputed")
+    assert tw > 0.9, f"trustworthiness {tw:.3f}"
+
+
+def test_device_layout_combiner_recovers_groups(monkeypatch):
+    """End-to-end combiner gate with the device SGD forced (what TPU runs)."""
+    import enstop_tpu.models.ensemble as ens
+    from enstop_tpu.cluster.umap import umap_embed as _ue
+
+    monkeypatch.setattr(
+        ens, "umap_embed",
+        lambda *a, **k: _ue(*a, **{**k, "layout": "device"}),
+    )
+    n_groups, copies, seed = 4, 12, 0
+    T = _topic_stack(seed, n_groups, copies)
+    stable = ens.generate_combined_topics_hellinger_umap(
+        T, min_samples=3, min_cluster_size=4, random_state=seed,
+    )
+    found = stable.shape[0]
+    assert n_groups <= found <= 2 * n_groups, f"found {found}"
+    rng = np.random.RandomState(seed)
+    protos = rng.dirichlet(np.full(T.shape[1], 0.15), size=n_groups)
+    protos = protos / protos.sum(1, keepdims=True)
+    d = np.sqrt(((np.sqrt(stable[:, None, :]) - np.sqrt(protos[None, :, :])) ** 2
+                 ).sum(-1)) / np.sqrt(2)
+    assert d.min(axis=0).max() < 0.45
+    assert d.min(axis=1).max() < 0.45
+    assert set(d.argmin(axis=1).tolist()) == set(range(n_groups))
+
+
+def test_device_layout_deterministic():
+    T = _topic_stack(7, 4, 10)
+    dmat = np.asarray(all_pairs_hellinger_distance(T), dtype=np.float64)
+    dmat = (dmat + dmat.T) / 2
+    np.fill_diagonal(dmat, 0)
+    e1 = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=42,
+                    layout="device")
+    e2 = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=42,
+                    layout="device")
+    np.testing.assert_array_equal(e1, e2)
