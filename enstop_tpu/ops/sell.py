@@ -374,11 +374,16 @@ class PreparedSell:
         return (self.n, self.m)
 
 
-def prepare_sell(X, lane=None, standardize=True, kind="auto"):
+def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None):
     """Pack + ship a corpus once for repeated sparse fits.
 
-    ``kind="auto"`` uses the fused Pallas chunk kernels on TPU and the XLA
-    SELL layout elsewhere."""
+    ``kind="auto"`` uses the XLA SELL layout (measured default);
+    ``kind="chunks"`` selects the fused Pallas chunk kernels with optional
+    ``bd``/``bw`` tile shapes — larger tiles (e.g. 2048x2048) keep the chunk
+    count under the SMEM scalar-prefetch ceiling on huge corpora (config C,
+    250k x 141k, 19M nnz, runs at ~709 ms/iter where the dense rectangle
+    cannot fit and this environment's remote compiler rejects the 19M-row
+    SELL program — docs/PERFORMANCE.md)."""
     if standardize:
         from ..utils import standardize_input
 
@@ -393,7 +398,12 @@ def prepare_sell(X, lane=None, standardize=True, kind="auto"):
     if kind == "chunks":
         from . import pallas_sell as ps
 
-        ch = ps.pack_chunks(X)
+        kw = {}
+        if bd is not None:
+            kw["bd"] = int(bd)
+        if bw is not None:
+            kw["bw"] = int(bw)
+        ch = ps.pack_chunks(X, **kw)
         return PreparedSell(
             ps.device_chunks(ch), ch.n, ch.m, ch.nnz, ch.chunk,
             kind="chunks", meta=(ch.bd, ch.bw, ch.n_pad, ch.m_pad),
