@@ -84,6 +84,21 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, f32p,
         ]
         lib.sell_pack_word_side_from_csr.restype = None
+        lib.counting_sort_by_key.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.counting_sort_by_key.restype = None
+        lib.chunk_histogram.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i64p,
+        ]
+        lib.chunk_histogram.restype = None
+        lib.chunk_fill.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            i64p, i64p, i32p, i32p, f32p,
+        ]
+        lib.chunk_fill.restype = None
         lib.packer_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -180,6 +195,53 @@ def sell_pack_word_side_from_csr(indptr, indices, data, seg_base, lane,
         indptr, indices, data, seg_base, n_rows, lane, fill_pos,
         owner, idx.reshape(-1), val.reshape(-1),
     )
+    return True
+
+
+def counting_sort_by_key(keys, n_keys):
+    """Stable ascending-sort permutation of small-integer ``keys`` (two O(n)
+    native passes).  Returns the order array, or None if the native library
+    is unavailable (caller falls back to np.lexsort/argsort)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "counting_sort_by_key"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    pos = np.zeros(int(n_keys) + 1, np.int64)
+    order = np.empty(keys.shape[0], np.int64)
+    lib.counting_sort_by_key(keys, keys.shape[0], int(n_keys), pos, order)
+    return order
+
+
+def chunk_histogram(rows, cols, bd, bw, n_ti, n_tj, major_is_j):
+    """Per-tile-key entry counts for the chunk packer (one native pass).
+    Returns the int64 counts array, or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "chunk_histogram"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    counts = np.zeros(int(n_ti) * int(n_tj), np.int64)
+    lib.chunk_histogram(rows, cols, rows.shape[0], bd, bw, n_ti, n_tj,
+                        int(bool(major_is_j)), counts)
+    return counts
+
+
+def chunk_fill(rows, cols, vals, bd, bw, n_ti, n_tj, major_is_j, chunkC,
+               chunk_base, rows_local, cols_local, vals_out):
+    """Stream entries into their chunk slots with tile-local ids (one native
+    pass; outputs zeroed by caller).  Returns False if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "chunk_fill"):
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    chunk_base = np.ascontiguousarray(chunk_base, dtype=np.int64)
+    fill_pos = np.zeros(int(n_ti) * int(n_tj), np.int64)
+    lib.chunk_fill(rows, cols, vals, rows.shape[0], bd, bw, n_ti, n_tj,
+                   int(bool(major_is_j)), chunkC, chunk_base, fill_pos,
+                   rows_local.reshape(-1), cols_local.reshape(-1),
+                   vals_out.reshape(-1))
     return True
 
 

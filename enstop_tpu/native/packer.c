@@ -135,6 +135,82 @@ void sell_pack_word_side_from_csr(
     }
 }
 
+/* Stable counting sort: order_out receives the permutation that sorts `keys`
+ * ascending (ties keep original order — matches np.lexsort's stability).
+ * `pos` is a zeroed scratch of n_keys+1 int64.  Replaces the O(n log n)
+ * lexsorts of the chunk packer with two O(n) passes over small tile keys. */
+void counting_sort_by_key(
+    const int64_t *keys,
+    int64_t n,
+    int64_t n_keys,
+    int64_t *pos,
+    int64_t *order_out)
+{
+    for (int64_t i = 0; i < n; ++i)
+        pos[keys[i] + 1]++;
+    for (int64_t k = 0; k < n_keys; ++k)
+        pos[k + 1] += pos[k];
+    for (int64_t i = 0; i < n; ++i)
+        order_out[pos[keys[i]]++] = i;
+}
+
+/* Chunk-layout packing (ops/pallas_sell.py) in two O(nnz) passes, replacing
+ * a numpy pipeline of ~15 nnz-sized temporaries.  Tile key of entry p is
+ * major*n_minor + minor with (ti, tj) = (row/bd, col/bw); keys ascend in
+ * (major, minor) order.  Pass 1 histograms keys; the (small, per-tile) chunk
+ * bookkeeping happens in numpy; pass 2 streams the entries into their chunk
+ * slots with tile-local ids, preserving original order within a tile (the
+ * same order a stable sort by key yields). */
+void chunk_histogram(
+    const int32_t *rows,
+    const int32_t *cols,
+    int64_t nnz,
+    int64_t bd,
+    int64_t bw,
+    int64_t n_ti,
+    int64_t n_tj,
+    int major_is_j,
+    int64_t *counts)
+{
+    for (int64_t p = 0; p < nnz; ++p) {
+        const int64_t ti = rows[p] / bd;
+        const int64_t tj = cols[p] / bw;
+        counts[major_is_j ? tj * n_ti + ti : ti * n_tj + tj]++;
+    }
+}
+
+/* chunk_base[key] = final chunk row of the tile's first chunk (numpy computes
+ * it including dummy-chunk offsets); fill_pos is a zeroed int64[n_keys].
+ * Output arrays are zeroed (n_chunks * chunkC). */
+void chunk_fill(
+    const int32_t *rows,
+    const int32_t *cols,
+    const float *vals,
+    int64_t nnz,
+    int64_t bd,
+    int64_t bw,
+    int64_t n_ti,
+    int64_t n_tj,
+    int major_is_j,
+    int64_t chunkC,
+    const int64_t *chunk_base,
+    int64_t *fill_pos,
+    int32_t *rows_local,
+    int32_t *cols_local,
+    float *vals_out)
+{
+    for (int64_t p = 0; p < nnz; ++p) {
+        const int64_t ti = rows[p] / bd;
+        const int64_t tj = cols[p] / bw;
+        const int64_t key = major_is_j ? tj * n_ti + ti : ti * n_tj + tj;
+        const int64_t w = fill_pos[key]++;
+        const int64_t dst = (chunk_base[key] + w / chunkC) * chunkC + w % chunkC;
+        rows_local[dst] = (int32_t)(rows[p] - ti * bd);
+        cols_local[dst] = (int32_t)(cols[p] - tj * bw);
+        vals_out[dst] = vals[p];
+    }
+}
+
 int packer_num_threads(void)
 {
 #ifdef _OPENMP

@@ -67,3 +67,30 @@ def test_fallback_paths(rng, monkeypatch):
     want = np.zeros_like(out)
     want[:, :300] = X.toarray()
     np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_chunk_pack_native_matches_numpy(rng, monkeypatch):
+    """The fully-native two-pass chunk packer (C histogram + C fill) must be
+    bit-identical to the numpy pipeline, incl. coverage dummies and Zipf skew."""
+    from enstop_tpu.ops import pallas_sell as ps
+
+    n, m, nnz = 900, 800, 4000
+    r = rng.randint(0, 50, nnz)  # most row tiles empty
+    c = ((m - 200) * (rng.random_sample(nnz) ** 4)).astype(np.int32)
+    v = rng.randint(1, 5, nnz).astype(np.float32)
+    X = sp.coo_matrix((v, (r, c)), shape=(n, m)).tocsr()
+    X.sum_duplicates()
+
+    for bd, bw in ((128, 256), (256, 128)):
+        got = ps.pack_chunks(X, bd=bd, bw=bw)
+        monkeypatch.setattr(native, "chunk_histogram", lambda *a, **k: None)
+        want = ps.pack_chunks(X, bd=bd, bw=bw)
+        monkeypatch.undo()
+        for side in ("word_major", "doc_major"):
+            sa, sb = getattr(got, side), getattr(want, side)
+            assert sa.n_chunks == sb.n_chunks
+            for f in ("rows_local", "cols_local", "vals", "chunk_i",
+                      "chunk_j", "first_of_major"):
+                np.testing.assert_array_equal(
+                    getattr(sa, f), getattr(sb, f), err_msg=f"{side}.{f}"
+                )
