@@ -23,8 +23,15 @@ def test_host_memory_is_o_nnz():
     """The packed block store must cost O(nnz), not O(n*m)."""
     rng = np.random.RandomState(0)
     n, m = 20000, 30000
-    X = sp.random(n, m, density=2e-4, random_state=rng, format="csr",
-                  dtype=np.float32)
+    nnz = int(n * m * 2e-4)
+    # direct (row, col) draws: scipy.sparse.random's no-replacement sampling
+    # takes minutes under this host's CPU throttling
+    X = sp.coo_matrix(
+        (np.ones(nnz, np.float32),
+         (rng.randint(0, n, nnz), rng.randint(0, m, nnz))),
+        shape=(n, m),
+    ).tocsr()
+    X.sum_duplicates()
     X.data[:] = 1.0
     store = _BlockStore(X, block_docs=4096, use_pallas=False)
     dense_bytes = n * m * 4
