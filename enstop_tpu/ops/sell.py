@@ -379,11 +379,11 @@ def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None):
 
     ``kind="auto"`` uses the XLA SELL layout (measured default);
     ``kind="chunks"`` selects the fused Pallas chunk kernels with optional
-    ``bd``/``bw`` tile shapes — larger tiles (e.g. 2048x2048) keep the chunk
-    count under the SMEM scalar-prefetch ceiling on huge corpora (config C,
-    250k x 141k, 19M nnz, runs at ~709 ms/iter where the dense rectangle
-    cannot fit and this environment's remote compiler rejects the 19M-row
-    SELL program — docs/PERFORMANCE.md)."""
+    ``bd``/``bw`` tile shapes — larger tiles (2048x2048 measured best) keep
+    the chunk count under the SMEM scalar-prefetch ceiling on huge corpora
+    (config C, 250k x 141k, 19M nnz, runs at 515-709 ms/iter where the dense
+    rectangle cannot fit and this environment's remote compiler rejects the
+    19M-row SELL program — docs/PERFORMANCE.md)."""
     if standardize:
         from ..utils import standardize_input
 
