@@ -236,12 +236,48 @@ def _pack_one_order(rows, cols, vals, ti, tj, n_blocks_major, major, chunk):
     )
 
 
-def pack_chunks(X, bd=DEFAULT_BD, bw=DEFAULT_BW, chunk=None):
+# the per-chunk scalar-prefetch arrays live in SMEM (~MB); grids beyond this
+# many chunks fail to fit (measured ceiling ~100k chunks of 3 int32 scalars)
+_SMEM_CHUNK_CAP = 90_000
+
+
+def auto_tile_shape(n, m, nnz, bd=DEFAULT_BD, bw=DEFAULT_BW, chunk=None):
+    """Grow (bd, bw) from the defaults until the worst-case chunk count
+    (coverage tiles + entry chunks) fits the SMEM scalar-prefetch ceiling.
+    2048x2048 measured best at 19M-nnz scale (docs/PERFORMANCE.md); growth
+    stops at 4096 per side (larger tiles measured slower)."""
+    C = chunk or DEFAULT_CHUNK
+
+    def worst_chunks(bd_, bw_):
+        tiles = (-(-n // bd_)) * (-(-m // bw_))
+        return min(tiles, nnz) + -(-nnz // C)
+
+    # target well under the ceiling (cap/3): beyond ~30k chunks the grid is
+    # dominated by coverage dummies, which measured slower as well as risking
+    # the SMEM limit; this lands on the measured-best 2048x2048 at config C
+    while worst_chunks(bd, bw) > _SMEM_CHUNK_CAP // 3 and max(bd, bw) < 4096:
+        if bd <= bw and bd < 4096:
+            bd *= 2
+        else:
+            bw *= 2
+    return bd, bw
+
+
+def pack_chunks(X, bd=None, bw=None, chunk=None):
     """Pack a (sparse or dense) count matrix into dual-sorted local-id chunks.
 
     ``chunk=None`` sizes chunks near the average tile occupancy, bounding the
-    zero-fill waste on sparse tile grids."""
+    zero-fill waste on sparse tile grids.  ``bd``/``bw`` default to 512 and
+    auto-grow on huge corpora whose tile grid would exceed the SMEM
+    scalar-prefetch ceiling (see :func:`auto_tile_shape`)."""
     from scipy.sparse import issparse, csr_matrix
+
+    if bd is None or bw is None:
+        n_, m_ = X.shape
+        nnz_ = X.nnz if issparse(X) else int(np.count_nonzero(np.asarray(X)))
+        abd, abw = auto_tile_shape(n_, m_, nnz_, chunk=chunk)
+        bd = bd if bd is not None else abd
+        bw = bw if bw is not None else abw
 
     if chunk is None:
         # Mosaic requires >= 8 sublane rows per block, so the floor is

@@ -134,3 +134,14 @@ def test_chunk_multi_step_trajectory():
                                    rtol=5e-4, atol=1e-6, err_msg=f"step {step}")
         np.testing.assert_allclose(np.asarray(wz_j), np.asarray(wz_c),
                                    rtol=5e-4, atol=1e-6, err_msg=f"step {step}")
+
+
+def test_auto_tile_shape():
+    """Default 512 tiles at bench scale; growth to the measured-best shapes on
+    huge corpora whose grid would blow the SMEM scalar-prefetch ceiling."""
+    from enstop_tpu.ops.pallas_sell import auto_tile_shape
+
+    assert auto_tile_shape(18846, 25000, 2_711_701) == (512, 512)
+    assert auto_tile_shape(250_000, 141_000, 18_888_726) == (2048, 2048)
+    bd, bw = auto_tile_shape(8_000_000, 141_000, 500_000_000)
+    assert max(bd, bw) <= 4096 and bd >= 2048
