@@ -258,25 +258,59 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     n, m = prepared.n, prepared.m
     n_pad, m_pad = Xd.shape
 
-    zds, wzs, ws = [], [], []
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+
+    uniform = np.full(n, 1.0 / n)
+    ws = []
     for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(X if X is not None else prepared, k,
-                               init=init, rng=rng)
-        zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
-        zds.append(zd)
-        wzs.append(wz)
         if bootstrap:
-            counts = rng.multinomial(n, np.full(n, 1.0 / n)).astype(np.float32)
+            counts = rng.multinomial(n, uniform).astype(np.float32)
         else:
             counts = np.ones(n, np.float32)
         ws.append(pad_vector(counts, n_pad))
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    if init == "random":
+        # init factors generated ON DEVICE, directly sharded over the runs
+        # mesh: the host path ships n_runs x ~3.5 MB of factor pairs (~56 MB
+        # at the flagship config — the dominant cost of this mode on one chip)
+        from ..ops.data import round_up
 
-    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        kp = round_up(k, 8)
+        runs_spec = NamedSharding(mesh, P("runs"))
+
+        def make_inits(key):
+            def one(kk):
+                kz, kw = jax.random.split(kk)
+                zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
+                zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
+                               & (jnp.arange(kp) < k)[None, :], zd, 0.0)
+                zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
+                wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
+                wz = jnp.where((jnp.arange(kp) < k)[:, None]
+                               & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
+                wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
+                return zd, wz
+
+            return jax.vmap(one)(jax.random.split(key, n_runs))
+
+        base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
+        zds, wzs = jax.jit(
+            make_inits, out_shardings=(runs_spec, runs_spec)
+        )(base_key)
+    else:
+        zds, wzs = [], []
+        for _ in range(n_runs):
+            pzd0, pwz0 = plsa_init(X if X is not None else prepared, k,
+                                   init=init, rng=rng)
+            zd, wz = pad_factors(pzd0, pwz0, n_pad, m_pad)
+            zds.append(zd)
+            wzs.append(wz)
+        zds = put(np.stack(zds), P("runs"))
+        wzs = put(np.stack(wzs), P("runs"))
+
     Xs = put(Xd, P())
-    zds = put(np.stack(zds), P("runs"))
-    wzs = put(np.stack(wzs), P("runs"))
     ws = put(np.stack(ws), P("runs"))
 
     run = mesh_lib.build_ensemble_runs_sharded(mesh, inner=inner)
