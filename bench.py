@@ -59,7 +59,7 @@ def main():
     import jax.numpy as jnp
 
     from enstop_tpu.ops.data import pad_factors, pad_vector
-    from enstop_tpu.ops.driver import _get_steps, prepare_counts, resolve_backend
+    from enstop_tpu.ops.driver import prepare_counts, resolve_backend
     from enstop_tpu.ops.init import plsa_init
 
     print(f"# backend: {jax.default_backend()}", file=sys.stderr, flush=True)
@@ -82,70 +82,44 @@ def main():
     # any production use that fits more than once on a corpus
     prep = prepare_counts(X)
     backend = resolve_backend("auto")
-    em_step, _, ll_fn, em_step_ll = _get_steps(backend, precision="default")
 
     Xd = prep.device_array
     zd, wz = pad_factors(pzd0, pwz0, Xd.shape[0], Xd.shape[1])
     w = jnp.asarray(pad_vector(np.ones(X.shape[0], np.float32), Xd.shape[0]))
     zd, wz = jnp.asarray(zd), jnp.asarray(wz)
 
-    # The EM loop with the reference's exact schedule (one step, LL test, then
-    # every 10 steps — plsa.py:516-640), host-dispatched.  The compiled units
-    # are just the fused step and LL kernels: this keeps the one-off (remote)
-    # compilation small while the steady-state math is identical to the
-    # while_loop path used by the estimators.
-    @jax.jit
-    def chunk(X, zd, wz, w, n):
-        def body(_, s):
-            new_zd, new_wz, _ll = em_step(X, s[0], s[1], sample_weight=w)
-            return (new_zd, new_wz)
+    # The timed program is the PRODUCTION fit program the estimators run
+    # (ops/driver.py:_build_fit_fn -> ops/fit.py:em_fit_loop_folded): one
+    # compiled while-loop with the reference's exact LL test schedule (test
+    # after step 1, then every 10 — plsa.py:516-640), the convergence LL
+    # folded into chunk-boundary steps.  tolerance=0 forces the full 100
+    # iterations so the measured work is exactly N_ITER steps + the
+    # reference's 11 tests.
+    from enstop_tpu.ops.driver import _build_fit_fn
 
-        zd, wz = jax.lax.fori_loop(0, jnp.maximum(n - 1, 0), body, (zd, wz))
-        # the last step of the chunk carries the convergence-test LL out for
-        # free (same fold the estimator fit loop uses, ops/fit.py:
-        # em_fit_loop_folded) — no separate LL sweep over X
-        def fold(s):
-            return em_step_ll(X, s[0], s[1], sample_weight=w)
+    run = _build_fit_fn(backend, N_ITER, 10, True, False, "default")
 
-        def skip(s):
-            return s[0], s[1], ll_fn(X, s[0], s[1], sample_weight=w)
-
-        zd, wz, ll = jax.lax.cond(n >= 1, fold, skip, (zd, wz))
-        return zd, wz, ll
-
-    # warm-up / compile
-    print("# compiling step program (one-off; minutes under this environment's "
+    print("# compiling fit program (one-off; minutes under this environment's "
           "remote-compile relay)...", file=sys.stderr, flush=True)
-    z1, w1, l1 = chunk(Xd, zd, wz, w, jnp.int32(1))
-    _ = np.asarray(z1)
+    out = run.full(Xd, zd, wz, w, jnp.float32(0.0))
+    _ = np.asarray(out[0][:1, :1])
+    assert int(np.asarray(out[2])) == N_ITER
     print("# compiled; timing", file=sys.stderr, flush=True)
 
     # best of 3 full fits: the tunneled chip's dispatch latency varies
-    # run-to-run (observed 13-16 Gupd/s on the SAME program across days);
+    # run-to-run (observed 13-18 Gupd/s on the SAME program across days);
     # the best rep reflects the device's steady-state capability
     walls = []
     for _rep in range(3):
         t0 = time.time()
-        cur_zd, cur_wz, ll0 = chunk(Xd, zd, wz, w, jnp.int32(0))
-        lls = [ll0]
-        done = 0
-        while done < N_ITER:
-            # reference schedule: test after step 1, then after every 10 steps
-            n = 1 if done == 0 else min(10, N_ITER - done)
-            cur_zd, cur_wz, ll_n = chunk(Xd, cur_zd, cur_wz, w, jnp.int32(n))
-            done += n
-            if (done - 1) % 10 == 0:
-                lls.append(ll_n)
-        _ = np.asarray(cur_zd)  # hard sync (block_until_ready is unreliable)
+        out = run.full(Xd, zd, wz, w, jnp.float32(0.0))
+        _ = np.asarray(out[0][:1, :1])  # hard sync (block_until_ready lies here)
         walls.append(time.time() - t0)
         print(f"# rep {_rep}: {walls[-1]:.3f}s", file=sys.stderr, flush=True)
     wall = min(walls)
     steps = N_ITER
-    # trace readback AFTER the clock: these 11 scalar D2H round trips cost
-    # ~10-15 ms EACH over this tunnel (~0.15 s total) and are bench-harness
-    # diagnostics — the estimator's while_loop fit reads nothing back until
-    # the final factors, which the hard sync above already accounts for
-    lls = [float(v) for v in lls]
+    # trace readback AFTER the clock (bench-harness diagnostics)
+    lls = [float(v) for v in np.asarray(out[4]) if np.isfinite(v)]
 
     updates_per_s = steps * nnz * K / wall
     print(
