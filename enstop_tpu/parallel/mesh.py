@@ -311,7 +311,13 @@ def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
     rows = coo.row.astype(np.int64)
     cols = coo.col.astype(np.int64)
     tile = (rows // tr) * C + (cols // tc)
-    order = np.argsort(tile, kind="stable")  # CSR order within a tile survives
+    from ..native import counting_sort_by_key
+
+    # tile keys are tiny ints: the native stable counting sort replaces an
+    # O(nnz log nnz) argsort (material at 10M+ nnz on this throttled host)
+    order = counting_sort_by_key(tile, R * C)
+    if order is None:
+        order = np.argsort(tile, kind="stable")  # CSR order within a tile survives
     rows, cols, vals = rows[order], cols[order], coo.data[order]
     tile = tile[order]
 
