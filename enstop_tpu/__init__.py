@@ -68,8 +68,8 @@ def __getattr__(name):
         from .ops import sell as _sell
 
         return getattr(_sell, name)
-    if name == "ensemble_fit":
-        from .models.ensemble import ensemble_fit
+    if name in ("ensemble_fit", "ensemble_of_topics"):
+        from .models import ensemble as _ens
 
-        return ensemble_fit
+        return getattr(_ens, name)
     raise AttributeError(name)
