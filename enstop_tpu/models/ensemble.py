@@ -220,9 +220,29 @@ def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
     n, m = prepared.n, prepared.m
     init_source = prepared if X is None else X
     uniform = np.full(n, 1.0 / n)
+
+    # init="random" factors generated on device (same rationale as the dense
+    # fan-out: at sparse-path scales the per-run factor pairs are tens of MB
+    # of pure H2D)
+    make_init = None
+    if init == "random":
+        base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
+
+        @jax.jit
+        def make_init(key):
+            kz, kw = jax.random.split(key)
+            zd = jax.random.uniform(kz, (n, k), jnp.float32)
+            zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
+            wz = jax.random.uniform(kw, (k, m), jnp.float32)
+            wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
+            return zd, wz
+
     pending = []
-    for _ in range(n_runs):
-        pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
+    for i in range(n_runs):
+        if make_init is not None:
+            pzd0, pwz0 = make_init(jax.random.fold_in(base_key, i))
+        else:
+            pzd0, pwz0 = plsa_init(init_source, k, init=init, rng=rng)
         if bootstrap:
             counts = rng.multinomial(n, uniform).astype(np.float32)
         else:
