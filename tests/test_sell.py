@@ -361,3 +361,17 @@ def test_all_execution_strategies_converge_identically():
     base = lls["dense"]
     for name, v in lls.items():
         assert v == pytest.approx(base, rel=2e-4), (name, lls)
+
+
+def test_ensemble_sparse_backend_deterministic():
+    """Device-PRNG inits are keyed from random_state: same seed, same model."""
+    from enstop_tpu import EnsembleTopics
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=84,
+                                  n_docs=70, n_words=100).astype(np.int64))
+    a = EnsembleTopics(n_components=3, n_starts=3, backend="sparse",
+                       random_state=7).fit(X)
+    b = EnsembleTopics(n_components=3, n_starts=3, backend="sparse",
+                       random_state=7).fit(X)
+    assert a.n_components_ == b.n_components_
+    np.testing.assert_array_equal(a.components_, b.components_)
