@@ -25,7 +25,12 @@ def validate_corpus(X, sample_weight=None):
         X = csr_matrix(X)
     sample_weight = _check_sample_weight(sample_weight, X, dtype=np.float32)
     if np.any(X.data < 0):
-        raise ValueError("PLSA is only valid for matrices with non-negative entries")
+        # the reference's message (plsa.py:1148) + sklearn's canonical
+        # "Negative values in data" phrasing so generic tooling matches it
+        raise ValueError(
+            "PLSA is only valid for matrices with non-negative entries "
+            "(Negative values in data passed to fit)"
+        )
     return X, sample_weight
 
 
@@ -48,16 +53,51 @@ def reinsert_zero_rows(embedding, good_rows, n_rows, k):
     return out
 
 
-class TopicModelBase(BaseEstimator, TransformerMixin):
+class TopicModelBase(TransformerMixin, BaseEstimator):
     """Base class: fit plumbing + topic-quality metrics + checkpointing.
 
     Fitted attributes (identical contract to the reference):
     ``components_`` (k, n_words), ``embedding_`` (n_docs, k), ``training_data_``.
-    """
+
+    NB: the reference inherits ``(BaseEstimator, TransformerMixin)``
+    (plsa.py:1000); modern sklearn requires the mixin first for its tag
+    system — behavior is identical (``fit_transform`` is overridden)."""
 
     def fit(self, X, y=None, **fit_params):
         self.fit_transform(X, **fit_params)
         return self
+
+    def __sklearn_tags__(self):
+        tags = super().__sklearn_tags__()
+        # counts / term frequencies only, like sklearn's NMF
+        tags.input_tags.positive_only = True
+        tags.input_tags.sparse = True
+        # transform is a fresh frozen-topic refit (reference plsa.py:1184-
+        # 1220): a different EM path than fit's joint optimization, so
+        # fit_transform and transform agree only approximately
+        tags.non_deterministic = True
+        # factors are float32 by design (reference uses f32 throughout)
+        tags.transformer_tags.preserves_dtype = []
+        return tags
+
+    def _validate_transform_input(self, X):
+        """Fitted-state + feature-count guard shared by every transform."""
+        from sklearn.utils.validation import check_is_fitted
+
+        check_is_fitted(self, "components_")
+        if X.shape[1] != self.components_.shape[1]:
+            # sklearn's canonical wording (validate_data's reset=False check)
+            raise ValueError(
+                f"X has {X.shape[1]} features, but {type(self).__name__} "
+                f"is expecting {self.components_.shape[1]} features as input"
+            )
+
+    @property
+    def n_features_in_(self):
+        # sklearn contract: defined only after fit (hasattr-probed)
+        if not hasattr(self, "components_"):
+            raise AttributeError("n_features_in_ is only available after fit")
+        return self.components_.shape[1]
 
     # -- checkpoint / resume ---------------------------------------------------
     # The reference has no persistence beyond pickling the estimator (SURVEY §5);

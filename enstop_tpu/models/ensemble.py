@@ -741,6 +741,14 @@ class EnsembleTopics(TopicModelBase):
             X = check_array(X, accept_sparse="csr")
             if not issparse(X):
                 X = csr_matrix(X)
+            if np.any(X.data < 0):
+                # same guard as the pLSA estimators (reference plsa.py:1146-
+                # 1149; negative entries make EM nonsense silently)
+                raise ValueError(
+                    "EnsembleTopics is only valid for matrices with "
+                    "non-negative entries (Negative values in data passed "
+                    "to fit)"
+                )
 
         U, V = ensemble_fit(
             X,
@@ -779,6 +787,7 @@ class EnsembleTopics(TopicModelBase):
     def transform(self, X, y=None):
         """Embed new documents against the discovered stable topics."""
         X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
         random_state = check_random_state(self.transform_random_seed)
         if not issparse(X):
             X = coo_matrix(X)

@@ -189,6 +189,7 @@ class BlockParallelPLSA(TopicModelBase):
 
     def transform(self, X, y=None):
         X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
         if not issparse(X):
             X = coo_matrix(X)
         return _refit_on_mesh(

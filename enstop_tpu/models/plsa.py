@@ -123,6 +123,7 @@ class PLSA(TopicModelBase):
         """Embed new documents against the fitted topics (refit of P(z|d) only,
         reference plsa.py:1184-1221)."""
         X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
         random_state = check_random_state(self.transform_random_seed)
         if not issparse(X):
             X = coo_matrix(X)

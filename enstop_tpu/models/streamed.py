@@ -81,6 +81,7 @@ class StreamedPLSA(TopicModelBase):
 
     def transform(self, X, y=None):
         X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
         if not issparse(X):
             X = coo_matrix(X).tocsr()
         return streamed_refit_core(

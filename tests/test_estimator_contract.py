@@ -69,3 +69,66 @@ def test_metrics_available(cls, X):
     model = cls(**_fast_params(cls)).fit(X)
     assert np.isfinite(model.coherence(n_words=5))
     assert np.isfinite(model.log_lift(n_words=5))
+
+
+# ---------------------------------------------------------------------------
+# sklearn's own estimator-check battery (modern tags API)
+# ---------------------------------------------------------------------------
+
+def test_sklearn_estimator_checks_plsa():
+    """PLSA passes sklearn's full check battery (SkipTest-marked checks and
+    environment-gated ones excepted)."""
+    import warnings
+
+    from sklearn.utils.estimator_checks import estimator_checks_generator
+
+    from enstop_tpu import PLSA
+
+    est = PLSA(n_components=3, n_iter=5, random_state=0)
+    failed = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for estimator, check in estimator_checks_generator(est):
+            name = (getattr(check, "func", check).__name__
+                    if hasattr(check, "func") else str(check))
+            try:
+                check(estimator)
+            except Exception as e:
+                if type(e).__name__ == "SkipTest":
+                    continue
+                failed.append((name, type(e).__name__, str(e)[:140]))
+    assert not failed, failed
+
+
+@pytest.mark.parametrize("cls_kw", [
+    ("StreamedPLSA", dict(n_components=3, n_iter=5, block_size=16)),
+    ("EnsembleTopics", dict(n_components=2, n_starts=2, n_iter=5)),
+    ("BlockParallelPLSA", dict(n_components=3, n_iter=5)),
+])
+def test_estimators_reject_negative_input(cls_kw):
+    import enstop_tpu
+
+    name, kw = cls_kw
+    Est = getattr(enstop_tpu, name)
+    X = np.random.RandomState(0).poisson(1.0, (30, 12)).astype(float)
+    X[3, 4] = -1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        Est(random_state=0, **kw).fit(X)
+
+
+@pytest.mark.parametrize("cls_kw", [
+    ("PLSA", dict(n_components=3, n_iter=5)),
+    ("StreamedPLSA", dict(n_components=3, n_iter=5, block_size=16)),
+    ("EnsembleTopics", dict(n_components=2, n_starts=2, n_iter=5)),
+    ("BlockParallelPLSA", dict(n_components=3, n_iter=5)),
+])
+def test_transform_checks_feature_count(cls_kw):
+    import enstop_tpu
+
+    name, kw = cls_kw
+    Est = getattr(enstop_tpu, name)
+    X = np.random.RandomState(0).poisson(1.0, (40, 12)).astype(np.int64)
+    m = Est(random_state=0, **kw).fit(X)
+    assert m.n_features_in_ == 12
+    with pytest.raises(ValueError, match="features"):
+        m.transform(X[:, :8])
