@@ -282,6 +282,7 @@ class DistributedPLSA(BlockParallelPLSA):
         from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_refit
 
         X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
         if not issparse(X):
             X = coo_matrix(X).tocsr()
         return sparse_mesh_refit(
