@@ -97,3 +97,14 @@ def as_scipy_csr(X, dtype=np.float32):
     if issparse(X):
         return X.tocsr().astype(dtype)
     return csr_matrix(np.asarray(X, dtype=dtype))
+
+
+def __getattr__(name):
+    # the reference hosts the topic-quality metrics in enstop.utils
+    # (utils.py:44-273); here they live in ops/metrics — re-export lazily so
+    # `from enstop_tpu.utils import coherence` keeps working without a cycle
+    if name in ("coherence", "mean_coherence", "log_lift", "mean_log_lift"):
+        from .ops import metrics as _metrics
+
+        return getattr(_metrics, name)
+    raise AttributeError(name)
