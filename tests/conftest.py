@@ -8,6 +8,10 @@ without a cluster" — see SURVEY.md §4d).  Must run before jax initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the graft-entry dryrun probes the device backend in a subprocess (the
+# tunneled TPU relay can be dead and hang forever); tests always want the
+# CPU path, so don't wait out the full probe timeout
+os.environ.setdefault("ENSTOP_DEVICE_PROBE_TIMEOUT", "5")
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (
