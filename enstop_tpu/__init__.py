@@ -28,7 +28,7 @@ from .ops.driver import PreparedCounts, plsa_fit, plsa_refit, prepare_counts
 from .ops.metrics import coherence, log_lift, mean_coherence, mean_log_lift
 from .utils import normalize, standardize_input
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "PLSA",
