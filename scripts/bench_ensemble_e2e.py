@@ -12,6 +12,15 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+# dead-relay guard: a hung tunnel makes every device op block forever
+import bench as _bench
+
+if not _bench._device_responsive():
+    print("# device backend unresponsive; skipping (TPU-only measurement)",
+          file=sys.stderr, flush=True)
+    sys.exit(0)
+
+
 def main():
     import jax
 

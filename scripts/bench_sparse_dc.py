@@ -4,6 +4,15 @@ sys.path.insert(0, ".")
 from bench_sparse import synth, bench_sparse, report
 import jax
 
+# dead-relay guard: a hung tunnel makes every device op block forever
+import bench as _bench
+
+if not _bench._device_responsive():
+    print("# device backend unresponsive; skipping (TPU-only measurement)",
+          file=sys.stderr, flush=True)
+    sys.exit(0)
+
+
 def main():
     print("# backend:", jax.default_backend(), flush=True)
     K = 20
