@@ -54,32 +54,68 @@ def synthetic_20ng(seed=0):
     return X
 
 
-def _device_responsive(timeout_s=180):
-    """The tunneled TPU's relay daemon can die mid-session, after which every
-    device op hangs forever while the backend still reports 'tpu'.  Probe with
-    a pure H2D+D2H round trip (no compile involved, so a healthy relay answers
-    in seconds even when its remote COMPILER is having a slow day)."""
-    import threading
+_PROBE_CODE = """
+import numpy as np, jax
+jax.default_backend()  # backend init is the first thing to hang on a dead relay
+x = jax.device_put(np.ones(8, np.float32))
+assert float(np.asarray(x).sum()) == 8.0
+"""
 
-    ok = []
 
-    def probe():
-        try:
-            import jax
+def _device_responsive_once(timeout_s):
+    """One liveness probe of the tunneled TPU, in a SUBPROCESS so a hung
+    attempt can be killed cleanly and retried (an in-process hung thread
+    would poison this process's jax client forever).  The probe is a pure
+    H2D+D2H round trip — no compile involved, so a healthy relay answers in
+    seconds even when its remote COMPILER is having a slow day."""
+    import subprocess
 
-            # backend init itself (jax.default_backend) is the first thing to
-            # hang on a dead relay — it must live inside the watchdog too
-            jax.default_backend()
-            x = jax.device_put(np.ones(8, np.float32))
-            np.asarray(x)
-            ok.append(True)
-        except Exception:
-            pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+
+def _device_responsive(budget_s=None):
+    """Probe the TPU relay with retry/backoff across ``budget_s`` seconds.
+
+    The relay daemon can die mid-session, after which every device op hangs
+    forever while the backend still reports 'tpu' — but it can also recover
+    (or merely be slow).  A single probe + permanent CPU fallback turned a
+    transient dead relay into an official 100x-regression-looking artifact
+    (BENCH_r02).  So: keep probing every ~2-3 minutes for up to ~20 minutes
+    (ENSTOP_BENCH_PROBE_BUDGET_S overrides) before giving up.
+    """
+    import os
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("ENSTOP_BENCH_PROBE_BUDGET_S", 1200))
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        per_probe = min(150.0, max(30.0, deadline - time.time()))
+        t0 = time.time()
+        if _device_responsive_once(per_probe):
+            print(f"# TPU relay responsive (probe {attempt}, "
+                  f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+            return True
+        remaining = deadline - time.time()
+        print(f"# TPU probe {attempt} failed ({time.time() - t0:.0f}s); "
+              f"{remaining:.0f}s of probe budget left", file=sys.stderr,
+              flush=True)
+        if remaining <= 5:
+            return False
+        # back off between attempts so a recovering relay gets breathing room
+        time.sleep(min(60.0, max(0.0, remaining - 150.0), 30.0 * attempt))
 
 
 def main():
@@ -90,10 +126,15 @@ def main():
     if os.environ.get("ENSTOP_BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
     elif not _device_responsive():
-        # dead relay: re-exec on CPU so the driver still records a number
-        print("# device backend unresponsive (relay daemon dead?); "
-              "re-exec on CPU", file=sys.stderr, flush=True)
-        env = dict(os.environ, ENSTOP_BENCH_FORCE_CPU="1")
+        # dead relay even after the retry/backoff window: re-exec on CPU so
+        # the driver still records a number — marked backend="cpu-fallback"
+        # in the JSON so it can never masquerade as a TPU regression
+        print("# device backend unresponsive after full probe budget "
+              "(relay daemon dead); re-exec on CPU", file=sys.stderr,
+              flush=True)
+        env = dict(os.environ, ENSTOP_BENCH_FORCE_CPU="1",
+                   ENSTOP_BENCH_FALLBACK_REASON="tpu relay unresponsive "
+                   "after full probe budget")
         os.execvpe(sys.executable, [sys.executable, os.path.abspath(__file__)],
                    env)
 
@@ -163,22 +204,25 @@ def main():
     lls = [float(v) for v in np.asarray(out[4]) if np.isfinite(v)]
 
     updates_per_s = steps * nnz * K / wall
-    print(
-        json.dumps(
-            {
-                "metric": "plsa_em_updates_per_s_20ng_k20",
-                "value": round(updates_per_s / 1e9, 4),
-                "unit": "Gupdates/s (nnz*k per second, 100-iter fit incl. LL tests); "
-                        "vs_baseline = vs the reference's single-core CPU-time "
-                        "(26.6s -> 1.654e8 upd/s), vs_2core_wall = vs its 2-core "
-                        "wall (14.7s -> 2.993e8 upd/s)",
-                "vs_baseline": round(updates_per_s / BASELINE_1CORE_UPDATES_PER_S, 2),
-                "vs_2core_wall": round(
-                    updates_per_s / BASELINE_2CORE_WALL_UPDATES_PER_S, 2
-                ),
-            }
-        )
-    )
+    record = {
+        "metric": "plsa_em_updates_per_s_20ng_k20",
+        "value": round(updates_per_s / 1e9, 4),
+        "unit": "Gupdates/s (nnz*k per second, 100-iter fit incl. LL tests); "
+                "vs_baseline = vs the reference's single-core CPU-time "
+                "(26.6s -> 1.654e8 upd/s), vs_2core_wall = vs its 2-core "
+                "wall (14.7s -> 2.993e8 upd/s)",
+        "vs_baseline": round(updates_per_s / BASELINE_1CORE_UPDATES_PER_S, 2),
+        "vs_2core_wall": round(
+            updates_per_s / BASELINE_2CORE_WALL_UPDATES_PER_S, 2
+        ),
+        "backend": jax.default_backend(),
+    }
+    if os.environ.get("ENSTOP_BENCH_FALLBACK_REASON"):
+        # this number was measured on the CPU fallback at reduced scale —
+        # it is NOT a TPU measurement and must not be read as one
+        record["backend"] = "cpu-fallback"
+        record["fallback_reason"] = os.environ["ENSTOP_BENCH_FALLBACK_REASON"]
+    print(json.dumps(record))
     print(
         f"# fit: {steps} EM iters, nnz={nnz}, wall={wall:.2f}s, "
         f"ll {lls[0]:.1f} -> {lls[-1]:.1f}",
