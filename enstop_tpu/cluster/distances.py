@@ -48,7 +48,12 @@ def hellinger(a, b):
 @jax.jit
 def _hellinger_matrix(T):
     sq = jnp.sqrt(jnp.maximum(T, 0.0))
-    sim = jnp.dot(sq, sq.T, preferred_element_type=jnp.float32)
+    # HIGHEST: these matrices feed HDBSCAN, whose dendrogram is sensitive to
+    # last-ulp tie order; bf16 (TPU DEFAULT) perturbs them ~1e-3 and would
+    # silently diverge from the CPU-tested golden-parity pipeline.  They are
+    # (n_runs*k)^2-tiny, so full-f32 multiplies are free.
+    sim = jnp.dot(sq, sq.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     l1 = T.sum(axis=1)
     denom = jnp.sqrt(jnp.outer(l1, l1))
     both_zero = (l1[:, None] == 0) & (l1[None, :] == 0)
@@ -80,14 +85,15 @@ def _kl_matrix(T):
     # terms where either side is zero are skipped by the reference (enstop_.py:238)
     pos = T > 0
     logT = jnp.where(pos, jnp.log2(jnp.maximum(T, 1e-38)), 0.0)
-    self_term = jnp.sum(jnp.where(pos, T * logT, 0.0), axis=1)  # sum_w t_i log2 t_i
     # cross_ij = sum_w t_i log2 t_j over w where t_i>0 and t_j>0
     cross = jnp.dot(jnp.where(pos, T, 0.0), jnp.where(pos, logT, 0.0).T,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     # but t_i entries where t_j == 0 must also drop from the self term:
     # self_term_ij = sum_w t_i log2 t_i * [t_j > 0]
     self_cross = jnp.dot(jnp.where(pos, T * logT, 0.0), pos.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     return self_cross - cross
 
 

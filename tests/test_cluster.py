@@ -41,6 +41,35 @@ def test_kl_matrix_matches_scalar(rng):
             assert D[i, j] == pytest.approx(kl(T[i], T[j]), abs=2e-3)
 
 
+def test_distance_matrices_match_f64_at_ensemble_scale(rng):
+    """The combiner distance matmuls run at Precision.HIGHEST so the on-TPU
+    pipeline feeds HDBSCAN the same matrices the CPU-tested golden pipeline
+    sees (bf16 DEFAULT would perturb them ~1e-3 and scramble last-ulp
+    dendrogram tie order).  Gate: f32-ulp agreement with a straight f64
+    numpy computation at real ensemble scale (n_runs*k rows)."""
+    n_rows, vocab = 16 * 20, 4000  # n_runs=16, k=20
+    T = _dirichlet_rows(rng, n_rows, vocab, alpha=0.1).astype(np.float32)
+
+    D = all_pairs_hellinger_distance(T)
+    T64 = T.astype(np.float64)
+    sq = np.sqrt(T64)
+    sim = sq @ sq.T
+    l1 = T64.sum(axis=1)
+    want = np.sqrt(np.maximum(0.0, 1.0 - sim / np.sqrt(np.outer(l1, l1))))
+    np.fill_diagonal(want, 0.0)
+    assert np.abs(D - want).max() < 1e-5
+
+    T[T < 1e-4] = 0.0  # exercise the both-positive mask in the KL path
+    K = all_pairs_kl_divergence(T)
+    T64 = T.astype(np.float64)
+    want_kl = np.empty((n_rows, n_rows))
+    logT = np.where(T64 > 0, np.log2(np.maximum(T64, 1e-300)), 0.0)
+    pos = (T64 > 0).astype(np.float64)
+    want_kl = (T64 * logT) @ pos.T - np.where(T64 > 0, T64, 0.0) @ logT.T
+    np.fill_diagonal(want_kl, 0.0)
+    assert np.abs(K - want_kl).max() < 1e-4
+
+
 def _three_blobs(rng, per=20, dim=3, spread=0.05):
     centers = np.array([[0.0] * dim, [5.0] * dim, [-5.0] * dim])
     pts = np.vstack([c + rng.randn(per, dim) * spread for c in centers])
