@@ -24,6 +24,8 @@ TPU-native re-design of the runs:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from scipy.sparse import coo_matrix, csr_matrix, issparse
 from sklearn.utils import check_array, check_random_state
@@ -129,6 +131,52 @@ def nmf_topics(X, k, **kwargs):
 # ensemble fan-out (reference enstop_.py:164-231, redesigned device-resident)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=32)
+def _dense_init_fn(n_pad, kp, n, k, m_pad, m):
+    """Compiled on-device random-init generator, cached so repeat ensemble fits
+    at the same shape reuse one compile (remote compiles cost 30s+ here)."""
+
+    @jax.jit
+    def make_init(key):
+        kz, kw = jax.random.split(key)
+        zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
+        zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
+                       & (jnp.arange(kp) < k)[None, :], zd, 0.0)
+        zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
+        wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
+        wz = jnp.where((jnp.arange(kp) < k)[:, None]
+                       & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
+        wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
+        return zd, wz
+
+    return make_init
+
+
+@lru_cache(maxsize=16)
+def _sharded_inits_fn(mesh, n_pad, kp, n, k, m_pad, m, n_runs):
+    """Compiled runs-sharded random-init generator (cached like _dense_init_fn)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    runs_spec = NamedSharding(mesh, P("runs"))
+
+    def make_inits(key):
+        def one(kk):
+            kz, kw = jax.random.split(kk)
+            zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
+            zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
+                           & (jnp.arange(kp) < k)[None, :], zd, 0.0)
+            zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
+            wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
+            wz = jnp.where((jnp.arange(kp) < k)[:, None]
+                           & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
+            wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
+            return zd, wz
+
+        return jax.vmap(one)(jax.random.split(key, n_runs))
+
+    return jax.jit(make_inits, out_shardings=(runs_spec, runs_spec))
+
+
 def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                                n_iter=100, n_iter_per_test=10, tolerance=0.001,
                                backend="auto", precision="default", x_dtype="auto",
@@ -172,19 +220,7 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
 
         kp = round_up(k, 8)
         base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
-
-        @jax.jit
-        def make_init(key):
-            kz, kw = jax.random.split(key)
-            zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
-            zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
-                           & (jnp.arange(kp) < k)[None, :], zd, 0.0)
-            zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
-            wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
-            wz = jnp.where((jnp.arange(kp) < k)[:, None]
-                           & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
-            wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
-            return zd, wz
+        make_init = _dense_init_fn(n_pad, kp, n, k, m_pad, m)
 
     # Dispatch every run before syncing any: JAX async dispatch queues the 16
     # fit programs back-to-back on the device while the host generates the
@@ -227,15 +263,8 @@ def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
     make_init = None
     if init == "random":
         base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
-
-        @jax.jit
-        def make_init(key):
-            kz, kw = jax.random.split(key)
-            zd = jax.random.uniform(kz, (n, k), jnp.float32)
-            zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
-            wz = jax.random.uniform(kw, (k, m), jnp.float32)
-            wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
-            return zd, wz
+        # unpadded layout: n_pad == n, kp == k, m_pad == m
+        make_init = _dense_init_fn(n, k, n, k, m, m)
 
     pending = []
     for i in range(n_runs):
@@ -298,27 +327,9 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
         from ..ops.data import round_up
 
         kp = round_up(k, 8)
-        runs_spec = NamedSharding(mesh, P("runs"))
-
-        def make_inits(key):
-            def one(kk):
-                kz, kw = jax.random.split(kk)
-                zd = jax.random.uniform(kz, (n_pad, kp), jnp.float32)
-                zd = jnp.where((jnp.arange(n_pad) < n)[:, None]
-                               & (jnp.arange(kp) < k)[None, :], zd, 0.0)
-                zd = zd / jnp.maximum(zd.sum(1, keepdims=True), 1e-30)
-                wz = jax.random.uniform(kw, (kp, m_pad), jnp.float32)
-                wz = jnp.where((jnp.arange(kp) < k)[:, None]
-                               & (jnp.arange(m_pad) < m)[None, :], wz, 0.0)
-                wz = wz / jnp.maximum(wz.sum(1, keepdims=True), 1e-30)
-                return zd, wz
-
-            return jax.vmap(one)(jax.random.split(key, n_runs))
-
         base_key = jax.random.PRNGKey(int(rng.randint(np.iinfo(np.int32).max)))
-        zds, wzs = jax.jit(
-            make_inits, out_shardings=(runs_spec, runs_spec)
-        )(base_key)
+        zds, wzs = _sharded_inits_fn(mesh, n_pad, kp, n, k, m_pad, m,
+                                     n_runs)(base_key)
     else:
         zds, wzs = [], []
         for _ in range(n_runs):
@@ -347,6 +358,10 @@ def ensemble_of_topics(
 ):
     """Generate ``n_runs · k`` candidate topics (reference enstop_.py:164-231).
 
+    Returns a writable numpy array like the reference; ``ensemble_fit`` uses
+    the internal device-resident variant so the topic stack never leaves HBM
+    on its way into the combiner.
+
     ``parallelism``:
       * ``"weights"`` (default) — device-resident multinomial-weight bootstraps
         (no per-run data copies; the TPU-native path);
@@ -358,6 +373,22 @@ def ensemble_of_topics(
       * ``"joblib"`` / ``"dask"`` — accepted for API parity, mapped to
         ``"resample"`` (thread fan-out does not help a device-bound workload).
     """
+    out = _ensemble_of_topics_device(
+        X, k, model=model, n_jobs=n_jobs, n_runs=n_runs,
+        parallelism=parallelism, **kwargs
+    )
+    if isinstance(out, np.ndarray) and out.flags.writeable:
+        return out
+    # np.asarray of a jax.Array is a read-only zero-copy view; copy so the
+    # public surface matches the reference's writable vstack output
+    return np.array(out)
+
+
+def _ensemble_of_topics_device(
+    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="weights", **kwargs
+):
+    """Internal fan-out: the device paths return the topic stack as a
+    device-resident jax.Array (the combiner consumes it in HBM)."""
     known = {"weights", "sharded", "resample", "none", "joblib", "dask"}
     if parallelism not in known:
         raise ValueError(
@@ -602,7 +633,7 @@ def ensemble_fit(
     timings["staging_s"] = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    all_topics = ensemble_of_topics(
+    all_topics = _ensemble_of_topics_device(
         X,
         estimated_n_topics,
         model=model,

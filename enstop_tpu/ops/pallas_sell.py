@@ -255,11 +255,23 @@ def auto_tile_shape(n, m, nnz, bd=DEFAULT_BD, bw=DEFAULT_BW, chunk=None):
     # target well under the ceiling (cap/3): beyond ~30k chunks the grid is
     # dominated by coverage dummies, which measured slower as well as risking
     # the SMEM limit; this lands on the measured-best 2048x2048 at config C
-    while worst_chunks(bd, bw) > _SMEM_CHUNK_CAP // 3 and max(bd, bw) < 4096:
+    while worst_chunks(bd, bw) > _SMEM_CHUNK_CAP // 3 and (bd < 4096 or bw < 4096):
         if bd <= bw and bd < 4096:
             bd *= 2
-        else:
+        elif bw < 4096:
             bw *= 2
+        else:  # bw capped; loop guard guarantees bd still has room
+            bd *= 2
+    if worst_chunks(bd, bw) > _SMEM_CHUNK_CAP:
+        import warnings
+
+        warnings.warn(
+            "pack_chunks: corpus needs ~{} chunks even at {}x{} tiles, above "
+            "the ~{} SMEM scalar-prefetch ceiling; the Pallas chunk kernel may "
+            "fail to compile — use kind='sell' or a larger chunk size".format(
+                worst_chunks(bd, bw), bd, bw, _SMEM_CHUNK_CAP
+            )
+        )
     return bd, bw
 
 

@@ -26,7 +26,7 @@ single-chip path, so the mesh backend is a thin collective layer.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -283,6 +283,30 @@ def shard_inputs(mesh, X, zd, wz, w):
 _TILE_NNZ_BUCKET = 1 << 14
 
 
+@lru_cache(maxsize=16)
+def _densify_fn(mesh, tr, tc, L, out_bf16):
+    """Compiled per-tile scatter program, cached so repeat stagings on the same
+    mesh/layout (fit_transform + transform, multiple fits) reuse one remote
+    compile — the point of the _TILE_NNZ_BUCKET padding."""
+    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("docs", "vocab", None),) * 3,
+        out_specs=P("docs", "vocab"),
+        check_vma=False,
+    )
+    def densify(lr, lc, lv):
+        base = jnp.zeros((tr, tc), out_dtype)
+        return base.at[lr[0, 0], lc[0, 0]].add(
+            lv[0, 0].astype(out_dtype), indices_are_sorted=True
+        )
+
+    return densify
+
+
 def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
     """Ship a sparse corpus as per-tile COO nonzeros and densify ON DEVICE
     under ``shard_map`` — the dense padded rectangle never exists on the host
@@ -341,22 +365,7 @@ def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
     out_bf16 = str(x_dtype) in ("bfloat16", "bf16") or getattr(
         x_dtype, "__name__", ""
     ) == "bfloat16"
-    out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
-
-    @jax.jit
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("docs", "vocab", None),) * 3,
-        out_specs=P("docs", "vocab"),
-        check_vma=False,
-    )
-    def densify(lr, lc, lv):
-        base = jnp.zeros((tr, tc), out_dtype)
-        return base.at[lr[0, 0], lc[0, 0]].add(
-            lv[0, 0].astype(out_dtype), indices_are_sorted=True
-        )
-
+    densify = _densify_fn(mesh, tr, tc, L, bool(out_bf16))
     return densify(put(lr), put(lc), put(lv)), n, m
 
 

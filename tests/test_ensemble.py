@@ -230,3 +230,17 @@ def test_device_merge_matches_numpy(rng):
     c = _merge_topics_by_label(jnp.asarray(T), labels)
     d = _merge_topics_by_label(T, labels)
     np.testing.assert_allclose(c, d, rtol=2e-5, atol=1e-7)
+
+
+def test_ensemble_of_topics_returns_writable_numpy(corpus):
+    """Public API parity: the reference returns a writable numpy array
+    (enstop_.py:231); the device-resident stack is internal to ensemble_fit."""
+    from enstop_tpu.models.ensemble import ensemble_of_topics
+
+    topics = ensemble_of_topics(
+        sp.csr_matrix(corpus.astype(np.int64)), 3, n_runs=2, n_iter=5,
+        random_state=0,
+    )
+    assert isinstance(topics, np.ndarray)
+    topics[0] = 0.0  # must be writable, like the reference's vstack output
+    topics += 1.0
