@@ -88,5 +88,9 @@ class StreamedPLSA(TopicModelBase):
             X,
             self.components_,
             block_docs=self.block_size,
+            n_iter=50,
+            n_iter_per_test=5,
+            tolerance=0.001,
+            e_step_thresh=self.e_step_thresh,
             random_state=check_random_state(self.transform_random_seed),
         )

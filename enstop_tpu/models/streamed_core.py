@@ -261,29 +261,86 @@ def streamed_refit_core(
     topics,
     block_docs=65536,
     n_iter=50,
+    n_iter_per_test=10,
+    tolerance=0.005,
+    e_step_thresh=None,
     random_state=None,
 ):
-    """Frozen-topic refit, one streaming pass: each block is shipped once and
-    runs all its refit iterations on device (strictly less traffic than the
-    reference's per-iteration re-stream, streamed_plsa.py:701-847)."""
+    """Frozen-topic refit with the dense refit's exact convergence schedule.
+
+    Iterations run in *chunks*: each block is shipped once per chunk and
+    sweeps the chunk's iterations on device, so H2D traffic is
+    O(nnz · n_tests) instead of the reference's per-iteration re-stream
+    (streamed_plsa.py:701-847).  The log-likelihood of the state at test
+    point T comes free from the first iteration of the next chunk (the same
+    fold streamed_fit_core uses), and on convergence the returned embedding
+    is the host checkpoint AT the test point — trajectory-identical to
+    ``ops/driver.py:plsa_refit`` on the same ``random_state`` (the
+    reference's own refit gate is dead, plsa.py:913; fixed here like every
+    other backend).  ``e_step_thresh`` is applied exactly when material,
+    like the resident sparse path.
+    """
     from sklearn.utils import check_random_state
+
+    from ..ops.sell import THRESH_MATERIAL
 
     rng = check_random_state(random_state)
     use_pallas = _use_pallas()
     store = _BlockStore(X, block_docs, use_pallas)
     n, m = store.n, store.m
     k = topics.shape[0]
+    thresh = (float(e_step_thresh)
+              if e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
+              else None)
     wz = jnp.asarray(np.asarray(topics, np.float32))
-    _, doc_update, ship = _block_step_fns(use_pallas)
+    _, doc_update, ship = _block_step_fns(use_pallas, thresh)
 
-    out = np.zeros((n, k), np.float32)
-    for b, (lo, hi) in enumerate(store.block_rows):
-        zb = rng.rand(hi - lo, k).astype(np.float32)
-        zb /= zb.sum(axis=1, keepdims=True)
-        zd_b = jnp.asarray(zb)
-        dev = ship(store.blocks[b])
-        w_b = jnp.ones((hi - lo,), jnp.float32)
-        for _ in range(int(n_iter)):
-            zd_b, _ = doc_update(dev, zd_b, wz, w_b, store.blocks[b])
-        out[lo:hi] = np.asarray(zd_b)
-    return out
+    # init exactly like the dense refit (driver.py:plsa_refit): ONE
+    # full-matrix draw, l1-normalized, split by block — identical trajectory
+    # on identical random_state.  O(n·k) host, same as the returned embedding.
+    z0 = rng.rand(n, k)
+    z0 /= z0.sum(axis=1, keepdims=True)
+    zd_blocks = [jnp.asarray(z0[lo:hi].astype(np.float32))
+                 for lo, hi in store.block_rows]
+    w_blocks = [jnp.ones((hi - lo,), jnp.float32)
+                for lo, hi in store.block_rows]
+
+    n_iter = int(n_iter)
+    if n_iter < 1:
+        return z0.astype(np.float32)
+    npt = max(int(n_iter_per_test), 1)
+
+    # chunk layout: [1..1], [2..1+npt], [2+npt..1+2npt], ... — each chunk's
+    # first iteration yields LL(state at the preceding test point)
+    chunks = [(1, 1)]
+    a = 2
+    while a <= n_iter:
+        chunks.append((a, min(a + npt - 1, n_iter)))
+        a = chunks[-1][1] + 1
+
+    prev_ll = None
+    for a, b_end in chunks:
+        if a >= 2:
+            # state entering this chunk is state_{a-1} — the pending test point
+            saved = [np.asarray(zb) for zb in zd_blocks]
+        ll_acc = jnp.float32(0.0)
+        for bi in range(store.n_blocks):
+            dev = ship(store.blocks[bi])     # one H2D per block per chunk
+            zd_b = zd_blocks[bi]
+            for t in range(a, b_end + 1):
+                zd_b, ll_b = doc_update(dev, zd_b, wz, w_blocks[bi],
+                                        store.blocks[bi])
+                if t == a:
+                    ll_acc = ll_acc + ll_b   # LL(state_{a-1})
+            zd_blocks[bi] = zd_b
+        cur = float(ll_acc)
+        if a == 1:
+            prev_ll = cur                    # LL(init state)
+        else:
+            change = abs(cur - prev_ll)
+            if change == 0.0 or change / abs(cur) < tolerance:
+                return np.vstack(saved)      # state AT the converged test point
+            prev_ll = cur
+    # a test point landing exactly on n_iter changes no returned state
+    # (converged or not, the dense path returns state_{n_iter}) — no extra pass
+    return np.vstack([np.asarray(zb) for zb in zd_blocks])
