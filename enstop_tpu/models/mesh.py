@@ -79,13 +79,25 @@ def _fit_on_mesh(
         n_pad,
     )
 
+    import time as _time
+
     zds, wzs, ws = mesh_lib.shard_factors(mesh, zd, wz, w)
     run = mesh_lib.build_sharded_fit(
         mesh, inner, weighted, int(n_iter), int(n_iter_per_test)
     )
-    zd_f, wz_f, steps, final_ll = run(Xs, zds, wzs, ws, jnp.float32(tolerance))
-    info = {"n_steps": int(steps), "log_likelihood": float(final_ll)}
-    return np.asarray(zd_f)[:n, :k], np.asarray(wz_f)[:k, :m], info
+    t0 = _time.perf_counter()
+    zd_f, wz_f, steps, final_ll, ll_trace, n_tests = run(
+        Xs, zds, wzs, ws, jnp.float32(tolerance)
+    )
+    U = np.asarray(zd_f)[:n, :k]  # sync
+    wall = _time.perf_counter() - t0
+    info = {
+        "n_steps": int(steps),
+        "log_likelihood": float(final_ll),
+        "ll_trace": np.asarray(ll_trace)[: int(n_tests)],
+        "wall_time_s": wall,
+    }
+    return U, np.asarray(wz_f)[:k, :m], info
 
 
 def _refit_on_mesh(X, topics, mesh, inner, n_iter=50, n_iter_per_test=5,
@@ -107,7 +119,7 @@ def _refit_on_mesh(X, topics, mesh, inner, n_iter=50, n_iter_per_test=5,
     run = mesh_lib.build_sharded_fit(
         mesh, inner, False, int(n_iter), int(n_iter_per_test), refit=True
     )
-    zd_f, _, _, _ = run(Xs, zds, wzs, ws, jnp.float32(tolerance))
+    zd_f = run(Xs, zds, wzs, ws, jnp.float32(tolerance))[0]
     return np.asarray(zd_f)[:n, :k]
 
 
@@ -184,6 +196,7 @@ class BlockParallelPLSA(TopicModelBase):
         self.components_ = V
         self.training_data_ = X
         self.n_iter_ = info["n_steps"]
+        self.history_ = np.asarray(info["ll_trace"], dtype=np.float64)
         self.fit_info_ = info
         return self.embedding_
 
@@ -274,6 +287,11 @@ class DistributedPLSA(BlockParallelPLSA):
         self.training_data_ = X
         self.n_iter_ = n_steps
         self.history_ = np.asarray(trace, dtype=np.float64)
+        self.fit_info_ = {
+            "n_steps": int(n_steps),
+            "log_likelihood": float(self.history_[-1]) if len(self.history_) else float("nan"),
+            "ll_trace": np.asarray(trace),
+        }
         return self.embedding_
 
     def transform(self, X, y=None):

@@ -406,7 +406,8 @@ def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=Fals
 
         res = em_fit_loop_folded(step_ll, step, ll_of, (zd, wz),
                                  n_iter_, npt_, tol)
-        return res.state[0], res.state[1], res.n_steps, res.final_ll
+        return (res.state[0], res.state[1], res.n_steps, res.final_ll,
+                res.ll_trace, res.n_tests)
 
     def run(X, zd, wz, w, tol):
         return run_inner(X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test))

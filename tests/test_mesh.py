@@ -50,7 +50,7 @@ def test_sharded_fit_matches_oracle(small_corpus, mesh):
     w = np.ones(Xd.shape[0], np.float32)
     run = mesh_lib.build_sharded_fit(mesh, "xla", False, 20, 5)
     Xs, zds, wzs, ws = mesh_lib.shard_inputs(mesh, Xd, zd, wz, w)
-    zd_f, wz_f, steps, ll = run(Xs, zds, wzs, ws, jnp.float32(0.001))
+    zd_f, wz_f, steps, ll, ll_trace, n_tests = run(Xs, zds, wzs, ws, jnp.float32(0.001))
 
     rows, cols, vals = oracle.to_coo(X)
     want_zd, want_wz, want_steps, _ = oracle.fit(
@@ -153,3 +153,27 @@ def test_mesh_fit_through_sparse_staging_matches_flat(small_corpus):
     np.testing.assert_allclose(
         blocked.components_, flat.components_, rtol=5e-3, atol=1e-5
     )
+
+
+def test_mesh_estimators_expose_history(small_corpus):
+    """Observability parity (VERDICT r2 item 6): BlockParallelPLSA and
+    DistributedPLSA(dense) must expose the same fitted surface as PLSA —
+    history_ (the convergence LL trajectory), n_iter_, fit_info_."""
+    import scipy.sparse as sp
+
+    from enstop_tpu import PLSA, BlockParallelPLSA, DistributedPLSA
+    from enstop_tpu.ops.init import plsa_init
+
+    Xs = sp.csr_matrix(small_corpus)
+    pzd0, pwz0 = plsa_init(Xs, 3, rng=np.random.RandomState(3))
+    ref = PLSA(n_components=3, init=(pzd0, pwz0), n_iter=15,
+               backend="xla").fit(Xs)
+
+    for cls in (BlockParallelPLSA, DistributedPLSA):
+        model = cls(n_components=3, init=(pzd0, pwz0), n_iter=15,
+                    backend="xla").fit(Xs)
+        assert hasattr(model, "history_") and len(model.history_) >= 1
+        assert model.n_iter_ == ref.n_iter_
+        assert set(model.fit_info_) >= {"n_steps", "log_likelihood", "ll_trace"}
+        # identical init => identical tested LL values (same math, mesh-reduced)
+        np.testing.assert_allclose(model.history_, ref.history_, rtol=1e-4)
