@@ -1,6 +1,6 @@
-"""Reference import-path parity: every driver-level symbol a reference user
-can import keeps working at the same path (internal numba kernels excepted —
-see enstop_tpu/plsa.py docstring for the documented boundary)."""
+"""Reference import-path parity: every symbol a reference user can import
+keeps working at the same path, including the module-public numba kernel
+surface (COO-backed shims — see enstop_tpu/plsa.py)."""
 
 import numpy as np
 import scipy.sparse as sp
@@ -45,3 +45,75 @@ def test_functional_variant_fits_return_factors():
         np.testing.assert_allclose(np.asarray(wz).sum(1), 1.0, rtol=1e-4)
     emb = streamed_plsa.plsa_refit(X, np.asarray(wz), n_iter=4, random_state=0)
     assert emb.shape == (50, 3)
+
+
+def test_reference_kernel_symbols_match_oracle():
+    """The reference's module-public kernel symbols (plsa.py:25-386, 733-816)
+    exist at the drop-in path with the numba calling convention — COO arrays
+    passed separately, outputs mutated in place AND returned, norm scratch
+    arrays filled — and match the oracle's math."""
+    import oracle
+    from enstop_tpu.plsa import (
+        log_likelihood,
+        plsa_e_step,
+        plsa_m_step,
+        plsa_m_step_w_sample_weight,
+        plsa_refit_m_step,
+    )
+
+    rng = np.random.RandomState(4)
+    X = _corpus()
+    coo = X.tocoo()
+    rows = coo.row.astype(np.int32)
+    cols = coo.col.astype(np.int32)
+    vals = coo.data.astype(np.float32)
+    n, m, k, nnz = X.shape[0], X.shape[1], 4, len(vals)
+
+    pzd = rng.rand(n, k).astype(np.float32)
+    pzd /= pzd.sum(1, keepdims=True)
+    pwz = rng.rand(k, m).astype(np.float32)
+    pwz /= pwz.sum(1, keepdims=True)
+    w = rng.uniform(0.5, 2.0, n).astype(np.float32)
+
+    resp = np.zeros((nnz, k), np.float32)
+    out = plsa_e_step(rows, cols, vals, pwz, pzd, resp)
+    assert out is resp  # in-place + returned, like the numba kernel
+    want_resp = oracle.e_step(rows, cols, vals, pwz, pzd)
+    np.testing.assert_allclose(resp, want_resp, rtol=1e-5, atol=1e-7)
+
+    # log-likelihood (weighted; the reference takes sample_weight positionally)
+    got_ll = log_likelihood(rows, cols, vals, pwz, pzd, w)
+    want_ll = oracle.log_likelihood(rows, cols, vals, pwz, pzd, sample_weight=w)
+    assert got_ll == pytest_approx(want_ll)
+
+    # unweighted M-step
+    pwz_m, pzd_m = pwz.copy(), pzd.copy()
+    norm_pwz, norm_pdz = np.zeros(k, np.float32), np.zeros(n, np.float32)
+    r1, r2 = plsa_m_step(rows, cols, vals, pwz_m, pzd_m, resp, norm_pwz, norm_pdz)
+    assert r1 is pwz_m and r2 is pzd_m
+    want_pzd, want_pwz = oracle.m_step(rows, cols, vals, want_resp, n, m)
+    np.testing.assert_allclose(pwz_m, want_pwz, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(pzd_m, want_pzd, rtol=1e-4, atol=1e-6)
+    assert norm_pwz.sum() > 0 and norm_pdz.sum() > 0  # scratch filled
+
+    # weighted M-step: weight enters P(w|z) only
+    pwz_w, pzd_w = pwz.copy(), pzd.copy()
+    plsa_m_step_w_sample_weight(rows, cols, vals, pwz_w, pzd_w, resp, w,
+                                norm_pwz, norm_pdz)
+    want_pzd_w, want_pwz_w = oracle.m_step(rows, cols, vals, want_resp, n, m,
+                                           sample_weight=w)
+    np.testing.assert_allclose(pwz_w, want_pwz_w, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(pzd_w, want_pzd_w, rtol=1e-4, atol=1e-6)
+
+    # refit M-step: topics frozen, P(z|d) only, weight ignored (reference too)
+    pwz_r, pzd_r = pwz.copy(), pzd.copy()
+    plsa_refit_m_step(rows, cols, vals, pwz_r, pzd_r, resp, w, norm_pdz)
+    np.testing.assert_array_equal(pwz_r, pwz)  # untouched
+    want_refit = oracle.refit_m_step(rows, cols, vals, want_resp, n)
+    np.testing.assert_allclose(pzd_r, want_refit, rtol=1e-4, atol=1e-6)
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, rel=1e-4)
