@@ -357,9 +357,9 @@ class PreparedSell:
     (the fused Pallas one-hot-matmul kernels of ops/pallas_sell.py — opt-in;
     measured at best on par with SELL and SMEM-capped ~100k chunks)."""
 
-    __slots__ = ("dev", "n", "m", "nnz", "lane", "backend", "kind", "meta")
+    __slots__ = ("dev", "n", "m", "nnz", "lane", "backend", "kind", "meta", "src")
 
-    def __init__(self, dev, n, m, nnz, lane, kind="sell", meta=None):
+    def __init__(self, dev, n, m, nnz, lane, kind="sell", meta=None, src=None):
         self.dev = dev
         self.n = n
         self.m = m
@@ -368,6 +368,11 @@ class PreparedSell:
         self.backend = "sparse"
         self.kind = kind
         self.meta = meta
+        # host-side source handle (a reference, not a copy): lets the SELL
+        # path fall back to the chunk layout if the compiler rejects the
+        # SELL program at extreme scale (observed: remote HTTP 500 at 19M
+        # rows — docs/PERFORMANCE.md §sparse)
+        self.src = src
 
     @property
     def shape(self):
@@ -410,7 +415,7 @@ def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None):
         )
     sides = pack_sell(X, lane=lane)
     return PreparedSell(device_arrays(sides), sides.n, sides.m, sides.nnz,
-                        sides.lane, kind="sell")
+                        sides.lane, kind="sell", src=X)
 
 
 @lru_cache(maxsize=32)
@@ -502,6 +507,35 @@ def _dev_struct(dev):
 THRESH_MATERIAL = 1e-30
 
 
+def _fallback_to_chunks(prep, err):
+    """Repack a SELL corpus as Pallas chunks after a compile rejection.
+
+    At extreme scale this environment's compiler can reject the SELL program
+    (observed: remote HTTP 500 at 19M rows) while the auto-tiled chunk
+    kernels still compile.  The prepared corpus is mutated IN PLACE so every
+    later fit/refit on it (ensemble runs, fit_transform + transform) goes
+    straight to chunks without re-paying the failed compile."""
+    import warnings
+
+    if prep.kind != "sell" or prep.src is None:
+        return False
+    warnings.warn(
+        "sparse SELL program failed to compile ({}: {}); retrying with the "
+        "Pallas chunk layout (kind='chunks', auto-tiled)".format(
+            type(err).__name__, str(err)[:200]
+        )
+    )
+    try:
+        repacked = prepare_sell(prep.src, standardize=False, kind="chunks")
+    except Exception:
+        return False
+    prep.dev = repacked.dev
+    prep.lane = repacked.lane
+    prep.kind = repacked.kind
+    prep.meta = repacked.meta
+    return True
+
+
 def sell_fit(
     prep: PreparedSell,
     p_z_given_d,
@@ -514,20 +548,33 @@ def sell_fit(
     segsum="scatter",
 ):
     """EM fit on a prepared SELL corpus.  Returns
-    ``(zd, wz, n_steps, final_ll, ll_trace, n_tests)`` (device arrays)."""
+    ``(zd, wz, n_steps, final_ll, ll_trace, n_tests)`` (device arrays).
+
+    If the SELL program fails to compile at extreme scale, the corpus is
+    transparently repacked to the chunk layout and the fit retried (see
+    :func:`_fallback_to_chunks`)."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    run = _build_sell_fit(
-        False, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
-        thresh_value=float(e_step_thresh) if thresholded else None,
-        meta=prep.meta,
-    )
     w = (jnp.asarray(np.asarray(sample_weight, np.float32))
          if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
-    return run(
-        prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(p_w_given_z), w,
-        jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
-        jnp.int32(n_iter), jnp.int32(n_iter_per_test),
-    )
+
+    def attempt():
+        run = _build_sell_fit(
+            False, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
+            thresh_value=float(e_step_thresh) if thresholded else None,
+            meta=prep.meta,
+        )
+        return run(
+            prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(p_w_given_z), w,
+            jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
+            jnp.int32(n_iter), jnp.int32(n_iter_per_test),
+        )
+
+    try:
+        return attempt()
+    except Exception as err:
+        if not _fallback_to_chunks(prep, err):
+            raise
+        return attempt()
 
 
 def sell_refit(
@@ -541,17 +588,27 @@ def sell_refit(
     e_step_thresh=1e-32,
     segsum="scatter",
 ):
-    """Frozen-topics refit on a prepared SELL corpus; returns the same tuple."""
+    """Frozen-topics refit on a prepared SELL corpus; returns the same tuple.
+    Falls back to the chunk layout on a compile rejection, like sell_fit."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    run = _build_sell_fit(
-        True, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
-        thresh_value=float(e_step_thresh) if thresholded else None,
-        meta=prep.meta,
-    )
     w = (jnp.asarray(np.asarray(sample_weight, np.float32))
          if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
-    return run(
-        prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(topics), w,
-        jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
-        jnp.int32(n_iter), jnp.int32(n_iter_per_test),
-    )
+
+    def attempt():
+        run = _build_sell_fit(
+            True, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
+            thresh_value=float(e_step_thresh) if thresholded else None,
+            meta=prep.meta,
+        )
+        return run(
+            prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(topics), w,
+            jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
+            jnp.int32(n_iter), jnp.int32(n_iter_per_test),
+        )
+
+    try:
+        return attempt()
+    except Exception as err:
+        if not _fallback_to_chunks(prep, err):
+            raise
+        return attempt()

@@ -375,3 +375,52 @@ def test_ensemble_sparse_backend_deterministic():
                        random_state=7).fit(X)
     assert a.n_components_ == b.n_components_
     np.testing.assert_array_equal(a.components_, b.components_)
+
+
+def test_sell_compile_failure_falls_back_to_chunks(rng, monkeypatch):
+    """backend='sparse' must never hard-fail when the SELL program is
+    rejected by the compiler (observed at 19M-nnz scale): the prepared
+    corpus repacks to the Pallas chunk layout in place and the fit retries
+    (VERDICT r2 item 8)."""
+    import warnings
+
+    import enstop_tpu.ops.sell as sell_mod
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(make_corpus(rng, n_docs=40, n_words=50, seed=3))
+    prep = sell_mod.prepare_sell(X, standardize=False)
+    assert prep.kind == "sell" and prep.src is not None
+    pzd0, pwz0 = plsa_init(X, 3, rng=np.random.RandomState(0))
+
+    real_build = sell_mod._build_sell_fit.__wrapped__
+
+    def failing_build(refit, thresholded, segsum, dev_struct, kind="sell",
+                      thresh_value=None, meta=None):
+        if kind == "sell":
+            raise RuntimeError("simulated remote-compile rejection (HTTP 500)")
+        return real_build(refit, thresholded, segsum, dev_struct, kind=kind,
+                          thresh_value=thresh_value, meta=meta)
+
+    monkeypatch.setattr(sell_mod, "_build_sell_fit", failing_build)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        zd, wz, steps, ll, trace, n_tests = sell_mod.sell_fit(
+            prep, pzd0, pwz0, n_iter=8, n_iter_per_test=5)
+    assert prep.kind == "chunks"          # mutated in place: no re-failing
+    assert any("chunk" in str(w.message) for w in caught)
+    assert np.isfinite(float(ll))
+
+    # parity with the ordinary chunk path on the same init
+    prep_c = sell_mod.prepare_sell(X, standardize=False, kind="chunks")
+    zd2, wz2, steps2, ll2, _, _ = sell_mod.sell_fit(
+        prep_c, pzd0, pwz0, n_iter=8, n_iter_per_test=5)
+    assert int(steps) == int(steps2)
+    np.testing.assert_allclose(np.asarray(wz), np.asarray(wz2),
+                               rtol=1e-4, atol=1e-6)
+
+    # the refit path falls back too (fresh prep, still-failing SELL build)
+    prep3 = sell_mod.prepare_sell(X, standardize=False)
+    emb = sell_mod.sell_refit(prep3, np.asarray(zd)[:, :3], np.asarray(wz),
+                              n_iter=4)[0]
+    assert prep3.kind == "chunks"
+    assert np.isfinite(np.asarray(emb)).all()
