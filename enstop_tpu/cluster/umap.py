@@ -17,6 +17,8 @@ are equivalent for clustering purposes.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from sklearn.utils import check_random_state
 
@@ -26,8 +28,11 @@ SMOOTH_K_TOLERANCE = 1e-5
 MIN_K_DIST_SCALE = 1e-3
 
 
+@lru_cache(maxsize=8)
 def find_ab_params(spread=1.0, min_dist=0.1):
-    """Fit the (a, b) of 1/(1 + a d^{2b}) to the desired min_dist/spread curve."""
+    """Fit the (a, b) of 1/(1 + a d^{2b}) to the desired min_dist/spread curve.
+    Cached: the curve_fit result is a pure function of (spread, min_dist), and
+    the default pair is re-requested on every ensemble fit."""
     from scipy.optimize import curve_fit
 
     def curve(x, a, b):
@@ -43,30 +48,43 @@ def find_ab_params(spread=1.0, min_dist=0.1):
 
 def smooth_knn_dist(knn_dists, n_neighbors, n_iter=64):
     """Per-point (rho, sigma): rho = nearest nonzero distance; sigma solves
-    sum_j exp(-(max(0, d_j - rho)) / sigma) = log2(n_neighbors)."""
+    sum_j exp(-(max(0, d_j - rho)) / sigma) = log2(n_neighbors).
+
+    All rows run the binary search together (the per-row scalar loop cost
+    ~1s of host time per ensemble fit on this throttled host); each row's
+    lo/hi/mid sequence is element-for-element the scalar algorithm's, so the
+    result is bit-identical to the per-row version."""
     target = np.log2(n_neighbors)
-    n = knn_dists.shape[0]
-    rho = np.zeros(n)
-    sigma = np.zeros(n)
-    mean_all = knn_dists.mean() or 1.0
-    for i in range(n):
-        row = knn_dists[i]
-        nonzero = row[row > 0]
-        rho[i] = nonzero[0] if nonzero.size else 0.0
-        lo, hi, mid = 0.0, np.inf, 1.0
-        for _ in range(n_iter):
-            ps = np.exp(-np.maximum(row[1:] - rho[i], 0.0) / mid)
-            val = ps.sum()
-            if abs(val - target) < SMOOTH_K_TOLERANCE:
-                break
-            if val > target:
-                hi = mid
-                mid = (lo + hi) / 2.0
-            else:
-                lo = mid
-                mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
-        sigma[i] = max(mid, MIN_K_DIST_SCALE * (row.mean() or mean_all))
-    return rho, sigma
+    D = np.asarray(knn_dists, np.float64)
+    n = D.shape[0]
+    mean_all = D.mean() or 1.0
+
+    pos = D > 0
+    has_pos = pos.any(axis=1)
+    first_pos = np.where(has_pos, pos.argmax(axis=1), 0)
+    rho = np.where(has_pos, D[np.arange(n), first_pos], 0.0)
+
+    d_adj = np.maximum(D[:, 1:] - rho[:, None], 0.0)
+    lo = np.zeros(n)
+    hi = np.full(n, np.inf)
+    mid = np.ones(n)
+    done = np.zeros(n, bool)
+    for _ in range(n_iter):
+        val = np.exp(-d_adj / mid[:, None]).sum(axis=1)
+        done |= np.abs(val - target) < SMOOTH_K_TOLERANCE
+        if done.all():
+            break
+        act = ~done
+        gt = act & (val > target)
+        lt = act & (val <= target)
+        hi = np.where(gt, mid, hi)            # val > target: hi = mid first
+        lo = np.where(lt, mid, lo)            # val < target: lo = mid first
+        mid = np.where(gt, (lo + hi) / 2.0, mid)
+        mid = np.where(lt, np.where(np.isinf(hi), mid * 2.0, (lo + hi) / 2.0),
+                       mid)
+    row_mean = D.mean(axis=1)
+    floor = MIN_K_DIST_SCALE * np.where(row_mean > 0, row_mean, mean_all)
+    return rho, np.maximum(mid, floor)
 
 
 def fuzzy_simplicial_set(dmat, n_neighbors):
@@ -77,11 +95,12 @@ def fuzzy_simplicial_set(dmat, n_neighbors):
     knn_d = np.take_along_axis(dmat, knn_idx, axis=1)
     rho, sigma = smooth_knn_dist(knn_d, n_neighbors)
 
+    # row i's neighbor columns are distinct, so a flat assignment fills W
+    # exactly like the per-entry loop
     W = np.zeros((n, n))
-    for i in range(n):
-        for col in range(1, knn_idx.shape[1]):
-            j = knn_idx[i, col]
-            W[i, j] = np.exp(-max(knn_d[i, col] - rho[i], 0.0) / sigma[i])
+    vals = np.exp(-np.maximum(knn_d[:, 1:] - rho[:, None], 0.0) / sigma[:, None])
+    rows = np.repeat(np.arange(n), knn_idx.shape[1] - 1)
+    W[rows, knn_idx[:, 1:].ravel()] = vals.ravel()
     # fuzzy set union
     return W + W.T - W * W.T
 

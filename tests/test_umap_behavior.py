@@ -172,3 +172,60 @@ def test_device_layout_deterministic():
     e2 = umap_embed(dmat=dmat, n_components=5, n_neighbors=10, random_state=42,
                     layout="device")
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_vectorized_smooth_knn_bit_identical_to_scalar(rng):
+    """The vectorized rho/sigma search and fuzzy-set fill must be
+    BIT-identical to the per-row scalar algorithm (each row's lo/hi/mid
+    sequence is unchanged, f64 throughout) — this is why the host pipeline
+    could be vectorized with zero combiner-parity risk."""
+    import numpy as np
+
+    from enstop_tpu.cluster.umap import (
+        SMOOTH_K_TOLERANCE, MIN_K_DIST_SCALE, fuzzy_simplicial_set,
+        smooth_knn_dist,
+    )
+
+    def scalar_smooth_knn(knn_dists, n_neighbors, n_iter=64):
+        target = np.log2(n_neighbors)
+        n = knn_dists.shape[0]
+        rho = np.zeros(n)
+        sigma = np.zeros(n)
+        mean_all = knn_dists.mean() or 1.0
+        for i in range(n):
+            row = knn_dists[i]
+            nonzero = row[row > 0]
+            rho[i] = nonzero[0] if nonzero.size else 0.0
+            lo, hi, mid = 0.0, np.inf, 1.0
+            for _ in range(n_iter):
+                val = np.exp(-np.maximum(row[1:] - rho[i], 0.0) / mid).sum()
+                if abs(val - target) < SMOOTH_K_TOLERANCE:
+                    break
+                if val > target:
+                    hi = mid
+                    mid = (lo + hi) / 2.0
+                else:
+                    lo = mid
+                    mid = mid * 2 if hi == np.inf else (lo + hi) / 2.0
+            sigma[i] = max(mid, MIN_K_DIST_SCALE * (row.mean() or mean_all))
+        return rho, sigma
+
+    for seed, n, k in ((0, 37, 10), (1, 64, 15), (2, 12, 15)):
+        r = np.random.RandomState(seed)
+        pts = r.rand(n, 6)
+        dmat = np.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1))
+        nn = min(k, n - 1)
+        knn_idx = np.argsort(dmat, axis=1)[:, : nn + 1]
+        knn_d = np.take_along_axis(dmat, knn_idx, axis=1)
+        # a duplicated point gives a row with zero nearest distance
+        dmat2 = dmat.copy(); dmat2[0] = dmat2[1]; dmat2[:, 0] = dmat2[:, 1]
+
+        got_rho, got_sig = smooth_knn_dist(knn_d, nn)
+        want_rho, want_sig = scalar_smooth_knn(knn_d, nn)
+        np.testing.assert_array_equal(got_rho, want_rho)
+        np.testing.assert_array_equal(got_sig, want_sig)
+
+        W = fuzzy_simplicial_set(dmat, nn)
+        assert W.shape == (n, n)
+        np.testing.assert_array_equal(W, W.T)
+        assert (W >= 0).all() and (W <= 1 + 1e-12).all()
