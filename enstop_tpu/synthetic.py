@@ -23,10 +23,17 @@ def synthetic_corpus(
     tokens_per_doc=120,
     doc_topic_alpha=0.2,
     zipf_exponent=1.05,
+    background_weight=0.0,
     seed=0,
 ):
     """Generate ``(X_csr, labels)``: a topic-mixture corpus and each document's
-    dominant latent topic (the notebook's clustering ground truth)."""
+    dominant latent topic (the notebook's clustering ground truth).
+
+    ``background_weight``: probability that a token is drawn from the global
+    Zipf background instead of its topic's distribution — shared stop-word-like
+    mass that makes recovery 20NG-hard instead of clean-synthetic-easy.  The
+    default 0.0 draws nothing extra from the RNG stream, so corpora generated
+    before this knob existed are bit-identical."""
     rng = np.random.RandomState(seed)
     zipf = 1.0 / np.arange(1, n_words + 1) ** zipf_exponent
     zipf /= zipf.sum()
@@ -49,6 +56,9 @@ def synthetic_corpus(
     for z in range(n_topics):
         mask = tok_topic == z
         tok_word[mask] = np.searchsorted(topics_cdf[z], u[mask])
+    if background_weight > 0.0:
+        bg = rng.random_sample(T) < background_weight
+        tok_word[bg] = np.searchsorted(np.cumsum(zipf), u[bg])
     tok_word = np.clip(tok_word, 0, n_words - 1)
 
     # integer dtype: these are raw term counts, which the estimators pass
