@@ -204,6 +204,12 @@ def main():
     lls = [float(v) for v in np.asarray(out[4]) if np.isfinite(v)]
 
     updates_per_s = steps * nnz * K / wall
+    # MFU: the fused EM step is ~3 rectangle matmuls (S = zd@wz, then the A
+    # and B accumulations) = 6*n_pad*m_pad*k flops/iter on the MXU; peak for
+    # one v5e chip is 197 Tflop/s bf16.  Diagnostic headroom metric only.
+    n_pad, m_pad = Xd.shape
+    flops_per_iter = 6.0 * n_pad * m_pad * K
+    mfu = steps * flops_per_iter / wall / 197e12
     record = {
         "metric": "plsa_em_updates_per_s_20ng_k20",
         "value": round(updates_per_s / 1e9, 4),
@@ -216,6 +222,7 @@ def main():
             updates_per_s / BASELINE_2CORE_WALL_UPDATES_PER_S, 2
         ),
         "backend": jax.default_backend(),
+        "mfu_bf16_v5e": round(mfu, 4),
     }
     if os.environ.get("ENSTOP_BENCH_FALLBACK_REASON"):
         # this number was measured on the CPU fallback at reduced scale —
