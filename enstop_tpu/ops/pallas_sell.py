@@ -255,13 +255,14 @@ def auto_tile_shape(n, m, nnz, bd=DEFAULT_BD, bw=DEFAULT_BW, chunk=None):
     # target well under the ceiling (cap/3): beyond ~30k chunks the grid is
     # dominated by coverage dummies, which measured slower as well as risking
     # the SMEM limit; this lands on the measured-best 2048x2048 at config C
+    # grow the smaller side first; a side stops at 4096 but the other keeps
+    # growing (the loop guard ensures at least one side has room).  bw capped
+    # forces bd < 4096 by the guard, so the two branches are exhaustive.
     while worst_chunks(bd, bw) > _SMEM_CHUNK_CAP // 3 and (bd < 4096 or bw < 4096):
-        if bd <= bw and bd < 4096:
+        if bd < 4096 and (bd <= bw or bw >= 4096):
             bd *= 2
-        elif bw < 4096:
+        else:
             bw *= 2
-        else:  # bw capped; loop guard guarantees bd still has room
-            bd *= 2
     if worst_chunks(bd, bw) > _SMEM_CHUNK_CAP:
         import warnings
 

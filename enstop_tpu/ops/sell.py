@@ -514,9 +514,16 @@ def _fallback_to_chunks(prep, err):
     (observed: remote HTTP 500 at 19M rows) while the auto-tiled chunk
     kernels still compile.  The prepared corpus is mutated IN PLACE so every
     later fit/refit on it (ensemble runs, fit_transform + transform) goes
-    straight to chunks without re-paying the failed compile."""
+    straight to chunks without re-paying the failed compile.
+
+    Only compiler/runtime failures trigger the fallback (XlaRuntimeError
+    subclasses RuntimeError); trace-time user errors (wrong shapes/dtypes
+    raise TypeError/ValueError) must surface unchanged — repacking a 19M-nnz
+    corpus to mask a shape bug would cost minutes and hide the real error."""
     import warnings
 
+    if not isinstance(err, RuntimeError):
+        return False
     if prep.kind != "sell" or prep.src is None:
         return False
     warnings.warn(
@@ -533,6 +540,7 @@ def _fallback_to_chunks(prep, err):
     prep.lane = repacked.lane
     prep.kind = repacked.kind
     prep.meta = repacked.meta
+    prep.src = None  # no further fallback from chunks: release the host pin
     return True
 
 
@@ -570,11 +578,15 @@ def sell_fit(
         )
 
     try:
-        return attempt()
+        out = attempt()
     except Exception as err:
         if not _fallback_to_chunks(prep, err):
             raise
         return attempt()
+    # the full fit program compiled at this scale, which proves the layout
+    # (the refit program is a strict subset): release the host corpus pin
+    prep.src = None
+    return out
 
 
 def sell_refit(

@@ -42,10 +42,10 @@ def plsa_refit(
 ):
     """Functional streamed refit, reference signature
     (streamed_plsa.py:959-1039): returns the document vectors."""
-    del n_iter_per_test, tolerance, e_step_thresh  # one-pass refit needs none
     return streamed_plsa_refit(
         X, topics, block_docs=block_size, n_iter=n_iter,
-        random_state=random_state,
+        n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+        e_step_thresh=e_step_thresh, random_state=random_state,
     )
 
 

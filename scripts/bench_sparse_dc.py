@@ -7,7 +7,7 @@ import jax
 # dead-relay guard: a hung tunnel makes every device op block forever
 import bench as _bench
 
-if not _bench._device_responsive():
+if not _bench._device_responsive(180):  # short budget: stay under the 600 s task cap
     print("# device backend unresponsive; skipping (TPU-only measurement)",
           file=sys.stderr, flush=True)
     sys.exit(0)

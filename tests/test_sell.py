@@ -424,3 +424,39 @@ def test_sell_compile_failure_falls_back_to_chunks(rng, monkeypatch):
                               n_iter=4)[0]
     assert prep3.kind == "chunks"
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_sell_user_errors_do_not_trigger_fallback(rng, monkeypatch):
+    """Trace-time user errors (TypeError/ValueError) must surface unchanged —
+    only RuntimeError (XlaRuntimeError's base: compile/runtime failures)
+    triggers the expensive chunk repack."""
+    import pytest
+
+    import enstop_tpu.ops.sell as sell_mod
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(make_corpus(rng, n_docs=30, n_words=40, seed=8))
+    prep = sell_mod.prepare_sell(X, standardize=False)
+    pzd0, pwz0 = plsa_init(X, 3, rng=np.random.RandomState(0))
+
+    def type_error_build(*a, **kw):
+        raise TypeError("bad shapes from the user")
+
+    monkeypatch.setattr(sell_mod, "_build_sell_fit", type_error_build)
+    with pytest.raises(TypeError):
+        sell_mod.sell_fit(prep, pzd0, pwz0, n_iter=4)
+    assert prep.kind == "sell"  # untouched: no repack happened
+
+
+def test_sell_src_released_after_successful_fit(rng):
+    """The host corpus pin exists only until the fit program is proven to
+    compile at this scale; afterwards it is released."""
+    import enstop_tpu.ops.sell as sell_mod
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(make_corpus(rng, n_docs=30, n_words=40, seed=9))
+    prep = sell_mod.prepare_sell(X, standardize=False)
+    assert prep.src is not None
+    pzd0, pwz0 = plsa_init(X, 3, rng=np.random.RandomState(0))
+    sell_mod.sell_fit(prep, pzd0, pwz0, n_iter=4)
+    assert prep.src is None
