@@ -123,11 +123,16 @@ def _spectral_init(W, dim, rng):
 
 
 def _scatter_add(emb, idx, updates):
-    """emb[idx] += updates with duplicate indices — np.bincount per output
-    column, ~6x faster than np.add.at (the SGD's hot op)."""
-    n = emb.shape[0]
-    for c in range(emb.shape[1]):
-        emb[:, c] += np.bincount(idx, weights=updates[:, c], minlength=n)
+    """emb[idx] += updates with duplicate indices — ONE flattened np.bincount
+    (faster than np.add.at and than a bincount per column; each output bin
+    still accumulates its contributions in input order, so the result is
+    bit-identical to the per-column form)."""
+    n, dim = emb.shape
+    flat = np.bincount(
+        (idx[:, None] * dim + np.arange(dim)).ravel(),
+        weights=updates.ravel(), minlength=n * dim,
+    )
+    emb += flat.reshape(n, dim)
 
 
 def _optimize_layout(emb, W, n_epochs, a, b, rng, negative_sample_rate=5,
