@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-3 TPU work queue — run the moment the relay daemon is alive.
+# Sequential (ONE TPU client process at a time; concurrent processes contend
+# for the tunneled chip and corrupt every timing).  Each step logs to
+# /tmp/tpu_q_<step>.log; safe to re-run — steps are independent.
+#
+# Usage:  nohup bash scripts/tpu_round3_queue.sh > /tmp/tpu_queue.log 2>&1 &
+#         tail -f /tmp/tpu_queue.log
+
+set -u
+cd "$(dirname "$0")/.."
+
+step() {
+  local name="$1"; shift
+  echo "=== $name: $(date +%T) ==="
+  timeout "${STEP_TIMEOUT:-2400}" "$@" > "/tmp/tpu_q_${name}.log" 2>&1
+  echo "=== $name done rc=$? $(date +%T) (log: /tmp/tpu_q_${name}.log) ==="
+}
+
+# 0. liveness gate — bail fast if the relay is still dead
+if ! timeout 150 python -c "
+import numpy as np, jax
+jax.default_backend()
+x = jax.device_put(np.ones(8, np.float32))
+assert float(np.asarray(x).sum()) == 8.0
+print('relay alive')
+"; then
+  echo "relay DEAD — aborting queue"
+  exit 1
+fi
+
+# 1. can compiled executables be serialized? (would kill the per-process
+#    remote-compile cost — integrate into bench.py if rc=0)
+step aot_probe python scripts/exp_aot_cache.py
+
+# 2. the official perf artifact's program: full bench (compile + best-of-3)
+step bench python bench.py
+
+# 3. ensemble E2E with the round-3 combiner prep (target: <= 4 s warm)
+step ensemble python scripts/bench_ensemble_e2e.py
+
+# 4. kernel smoke of every static Pallas variant on real hardware (interpret
+#    mode cannot catch Mosaic lowering bugs)
+step kernel_smoke python scripts/exp_dense_smoke.py
+
+echo "=== queue complete $(date +%T) ==="
