@@ -26,6 +26,8 @@ and chunk arrays in flight — independent of corpus size.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from scipy.sparse import issparse, csr_matrix
 
@@ -84,11 +86,29 @@ class _BlockStore:
         return total
 
 
+@lru_cache(maxsize=4)
+def _finish_wz_fn(multiply_prior):
+    """Deferred P(w|z) normalize (streamed_plsa.py:383-389), compiled once.
+    With exact thresholding the block contributions already carry wz, so the
+    prior multiply is skipped."""
+
+    @jax.jit
+    def finish_wz(wz, a_sum):
+        num = (wz * a_sum) if multiply_prior else a_sum
+        return num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+
+    return finish_wz
+
+
+@lru_cache(maxsize=16)
 def _block_step_fns(use_pallas, thresh=None):
     """(word_accum, doc_update) closures over device chunk/SELL arrays.
 
     ``thresh``: a materially-firing ``e_step_thresh`` (reference
-    plsa.py:97-102) applied exactly, like the resident sparse path."""
+    plsa.py:97-102) applied exactly, like the resident sparse path.
+    Cached per (use_pallas, thresh) so the jitted XLA block-step programs
+    are compiled once per process, not once per fit (remote compiles cost
+    30s+ here)."""
     if use_pallas:
 
         def word_accum(dev, zd_b, wz, w_b, blk):
@@ -193,12 +213,7 @@ def streamed_fit_core(
     w_blocks = [jnp.asarray(w_np[lo:hi]) for lo, hi in store.block_rows]
 
     word_accum, doc_update, ship = _block_step_fns(use_pallas, thresh)
-
-    @jax.jit
-    def finish_wz(wz, a_sum):
-        # with exact thresholding the contributions already carry wz
-        num = (wz * a_sum) if thresh is None else a_sum
-        return num / jnp.maximum(num.sum(axis=1, keepdims=True), _TINY)
+    finish_wz = _finish_wz_fn(thresh is None)
 
     # test points per the reference schedule (plsa.py:516-640): after
     # iteration 1, then every n_iter_per_test

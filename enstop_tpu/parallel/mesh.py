@@ -91,11 +91,14 @@ def _local_accumulators(inner, compute_ll=True):
     return accum
 
 
+@lru_cache(maxsize=64)
 def build_sharded_em_step(mesh, inner="xla", weighted=True, compute_ll=True):
     """Return a jittable ``(X, zd, wz, w) -> (next_zd, next_wz, ll)`` over the
     mesh.  With ``compute_ll=False`` the returned scalar is 0 and the pallas
     inner skips the transcendental log sweep (the folded fit loop only needs
-    LL on chunk-boundary steps)."""
+    LL on chunk-boundary steps).  Cached per (mesh, inner, weighted,
+    compute_ll): remote compiles cost 30s+ here and estimators rebuild their
+    programs on every fit/transform."""
     accum = _local_accumulators(inner, compute_ll=compute_ll)
 
     @partial(
@@ -125,6 +128,7 @@ def build_sharded_em_step(mesh, inner="xla", weighted=True, compute_ll=True):
     return step
 
 
+@lru_cache(maxsize=32)
 def build_sharded_ll(mesh, inner="xla", weighted=True):
     if inner == "pallas":
         from ..ops import pallas_em
@@ -150,6 +154,7 @@ def build_sharded_ll(mesh, inner="xla", weighted=True):
     return ll_fn
 
 
+@lru_cache(maxsize=32)
 def build_sharded_refit_step(mesh, inner="xla"):
     """Frozen-topics step over the mesh (for sharded transform/refit)."""
     if inner == "pallas":
@@ -201,6 +206,7 @@ def make_runs_mesh(n_shards=None, devices=None):
     return Mesh(np.asarray(devices[:n_shards]), axis_names=("runs",))
 
 
+@lru_cache(maxsize=16)
 def build_ensemble_runs_sharded(mesh, inner="xla"):
     """All bootstrap fits as ONE compiled program: the corpus is replicated, the
     per-run factors/weights are sharded over the ``runs`` axis, and each device
@@ -369,12 +375,11 @@ def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
     return densify(put(lr), put(lc), put(lv)), n, m
 
 
-def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):
-    """Compiled full-fit program over the mesh: EM loop + convergence entirely
-    on-device; only the final factors come back to the host.  Iteration counts
-    are closed over as traced scalars (no recompile when they change).  The
-    convergence log-likelihood is FOLDED into the chunk-boundary step (see
-    ops/fit.py:em_fit_loop_folded) — no separate LL sweep over the shards."""
+@lru_cache(maxsize=32)
+def _sharded_fit_program(mesh, inner, weighted, refit):
+    """The cached jitted fit program for a (mesh, inner, weighted, refit)
+    layout.  Iteration counts/tolerance enter as traced arguments, so ONE
+    remote compile covers every fit/transform on that layout."""
     from ..ops.fit import em_fit_loop_folded
 
     em_step_ll = build_sharded_em_step(mesh, inner=inner, weighted=weighted)
@@ -408,6 +413,17 @@ def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=Fals
                                  n_iter_, npt_, tol)
         return (res.state[0], res.state[1], res.n_steps, res.final_ll,
                 res.ll_trace, res.n_tests)
+
+    return run_inner
+
+
+def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):
+    """Compiled full-fit program over the mesh: EM loop + convergence entirely
+    on-device; only the final factors come back to the host.  Iteration counts
+    are closed over as traced scalars (no recompile when they change).  The
+    convergence log-likelihood is FOLDED into the chunk-boundary step (see
+    ops/fit.py:em_fit_loop_folded) — no separate LL sweep over the shards."""
+    run_inner = _sharded_fit_program(mesh, inner, bool(weighted), bool(refit))
 
     def run(X, zd, wz, w, tol):
         return run_inner(X, zd, wz, w, tol, jnp.int32(n_iter), jnp.int32(n_iter_per_test))

@@ -22,7 +22,7 @@ per-chip HBM holds only that chip's nonzeros plus the replicated topics.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -98,15 +98,12 @@ def shard_sell(mesh, X, lane=None):
     return dev, bounds[:-1], n, m
 
 
-def build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test, local_docs, m,
-                             refit=False):
-    """Compiled sparse fit over the docs mesh.
-
-    ``local_docs``: documents per shard (the padded uniform shard height for
-    the doc-sharded ``P(z|d)``); ``m``: vocabulary size.
-    Call with doc-sharded ``zd (n_dev*local_docs, k)``, replicated ``wz`` and
-    doc-sharded weights ``w``.
-    """
+@lru_cache(maxsize=32)
+def _sparse_fit_program(mesh, local_docs, m, refit):
+    """The cached jitted sparse-fit program for a (mesh, local_docs, m, refit)
+    layout.  Iteration counts/tolerance enter as traced arguments, so one
+    remote compile covers every fit/refit on that layout (remote compiles cost
+    30s+ here)."""
 
     def local_em(dev, zd_l, wz, w_l):
         # doc pass: local docs only; word pass: full-width partial + psum
@@ -186,6 +183,20 @@ def build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test, local_docs, m,
     @jax.jit
     def run(dev, zd, wz, w, tol, n_iter_, npt_):
         return run_local(dev, zd, wz, w, tol, n_iter_, npt_)
+
+    return run
+
+
+def build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test, local_docs, m,
+                             refit=False):
+    """Compiled sparse fit over the docs mesh.
+
+    ``local_docs``: documents per shard (the padded uniform shard height for
+    the doc-sharded ``P(z|d)``); ``m``: vocabulary size.
+    Call with doc-sharded ``zd (n_dev*local_docs, k)``, replicated ``wz`` and
+    doc-sharded weights ``w``.
+    """
+    run = _sparse_fit_program(mesh, int(local_docs), int(m), bool(refit))
 
     def runner(dev, zd, wz, w, tolerance):
         return run(dev, zd, wz, w, jnp.float32(tolerance),

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Watch the TPU relay daemon; the moment it answers a tiny-op probe, touch
+# /tmp/relay_alive and fire the round-3 TPU work queue (once).
+# Usage: nohup bash scripts/relay_watch.sh > /tmp/relay_watch.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+while true; do
+  if timeout 150 python -c "
+import numpy as np, jax
+x = jax.device_put(np.ones(8, np.float32))
+assert float(np.asarray(x).sum()) == 8.0
+print('relay alive')
+" 2>/dev/null; then
+    date +%s > /tmp/relay_alive
+    echo "relay ALIVE at $(date +%T) — launching round-3 queue"
+    bash scripts/tpu_round3_queue.sh
+    echo "queue finished at $(date +%T)"
+    exit 0
+  fi
+  echo "relay dead at $(date +%T); retry in 900s"
+  sleep 900
+done

@@ -1,0 +1,83 @@
+"""Compiled-program reuse across repeat fits.
+
+On this environment every remote compile costs 30 s - 10+ min, so the
+program builders must return the SAME jitted callable for the same layout
+(mesh/shape/flags) — estimators rebuild their programs on every
+fit/transform and must not pay the compile twice.
+"""
+
+import jax
+import numpy as np
+
+from enstop_tpu.parallel import mesh as mesh_mod
+from enstop_tpu.parallel import sparse_mesh as sparse_mod
+from enstop_tpu.models import streamed_core
+
+
+def test_sharded_program_builders_are_cached():
+    m = mesh_mod.make_mesh(4, 2)
+    assert mesh_mod.build_sharded_em_step(m, inner="xla") is (
+        mesh_mod.build_sharded_em_step(m, inner="xla")
+    )
+    assert mesh_mod.build_sharded_ll(m) is mesh_mod.build_sharded_ll(m)
+    assert mesh_mod.build_sharded_refit_step(m) is (
+        mesh_mod.build_sharded_refit_step(m)
+    )
+    assert mesh_mod._sharded_fit_program(m, "xla", True, False) is (
+        mesh_mod._sharded_fit_program(m, "xla", True, False)
+    )
+    # different layout -> different program
+    m2 = mesh_mod.make_mesh(2, 4)
+    assert mesh_mod._sharded_fit_program(m2, "xla", True, False) is not (
+        mesh_mod._sharded_fit_program(m, "xla", True, False)
+    )
+
+    rm = mesh_mod.make_runs_mesh(4)
+    assert mesh_mod.build_ensemble_runs_sharded(rm) is (
+        mesh_mod.build_ensemble_runs_sharded(rm)
+    )
+
+
+def test_sparse_and_streamed_program_builders_are_cached():
+    dm = sparse_mod.make_docs_mesh(4)
+    assert sparse_mod._sparse_fit_program(dm, 16, 32, False) is (
+        sparse_mod._sparse_fit_program(dm, 16, 32, False)
+    )
+    assert streamed_core._block_step_fns(False, None) is (
+        streamed_core._block_step_fns(False, None)
+    )
+    assert streamed_core._finish_wz_fn(True) is streamed_core._finish_wz_fn(True)
+    assert streamed_core._finish_wz_fn(True) is not streamed_core._finish_wz_fn(False)
+
+
+def test_cached_sharded_fit_still_correct():
+    # the thin build_sharded_fit wrapper binds iteration counts around the
+    # cached program; two different schedules must still produce the
+    # reference trajectory semantics (same final state for a converged fit)
+    rng = np.random.default_rng(0)
+    n, m_, k = 32, 256, 4
+    X = (rng.random((n, m_)) < 0.05).astype(np.float32)
+    msh = mesh_mod.make_mesh(8, 1)
+    rm, cm = mesh_mod.mesh_layout_multiples(msh, "xla")
+    from enstop_tpu.ops.data import round_up
+
+    n_pad, m_pad = round_up(n, rm), round_up(m_, cm)
+    Xp = np.zeros((n_pad, m_pad), np.float32)
+    Xp[:n, :m_] = X
+    zd = np.full((n_pad, k), 1.0 / k, np.float32)
+    zd[:n] = rng.random((n, k)).astype(np.float32)
+    zd[:n] /= zd[:n].sum(1, keepdims=True)
+    wz = rng.random((k, m_pad)).astype(np.float32) + 0.1
+    wz[:, m_:] = 1e-9
+    wz /= wz.sum(1, keepdims=True)
+    w = np.ones(n_pad, np.float32)
+
+    Xs, zds, wzs, ws = mesh_mod.shard_inputs(msh, Xp, zd, wz, w)
+    run_a = mesh_mod.build_sharded_fit(msh, "xla", True, 20, 5)
+    run_b = mesh_mod.build_sharded_fit(msh, "xla", True, 20, 5)
+    out_a = run_a(Xs, zds, wzs, ws, 0.0)
+    out_b = run_b(Xs, zds, wzs, ws, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out_a[0]), np.asarray(out_b[0]), rtol=0, atol=0
+    )
+    assert int(out_a[2]) == 20
