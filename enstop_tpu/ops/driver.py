@@ -128,7 +128,9 @@ def _build_fit_fn_cached(backend, weighted, refit, precision="highest"):
                                      n_iter, n_iter_per_test, tol)
         return res.state[0], res.state[1], res.n_steps, res.final_ll, res.ll_trace, res.n_tests
 
-    return run
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(run, name=f"fit-{backend}-{'refit' if refit else 'em'}")
 
 
 def _build_fit_fn(backend, n_iter, n_iter_per_test, weighted, refit, precision="highest"):

@@ -463,7 +463,9 @@ def _build_sell_fit(refit, thresholded, segsum, dev_struct, kind="sell",
             return (res.state[0], res.state[1], res.n_steps, res.final_ll,
                     res.ll_trace, res.n_tests)
 
-        return run
+        from ..aot_cache import maybe_wrap
+
+        return maybe_wrap(run, name=f"chunksfit-{'refit' if refit else 'em'}")
 
     @jax.jit
     def run(dev, zd, wz, w, thresh, tol, n_iter, npt):
@@ -490,7 +492,9 @@ def _build_sell_fit(refit, thresholded, segsum, dev_struct, kind="sell",
         res = em_fit_loop(step, ll_of, (zd, wz), n_iter, npt, tol)
         return res.state[0], res.state[1], res.n_steps, res.final_ll, res.ll_trace, res.n_tests
 
-    return run
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(run, name=f"sellfit-{'refit' if refit else 'em'}")
 
 
 def _dev_struct(dev):

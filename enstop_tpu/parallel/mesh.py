@@ -265,7 +265,9 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
     def run(X, zds, wzs, ws, tol, n_iter, npt):
         return run_local(X, zds, wzs, ws, tol, n_iter, npt)
 
-    return run
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(run, name=f"ensruns-{inner}")
 
 
 def shard_factors(mesh, zd, wz, w):
@@ -414,7 +416,11 @@ def _sharded_fit_program(mesh, inner, weighted, refit):
         return (res.state[0], res.state[1], res.n_steps, res.final_ll,
                 res.ll_trace, res.n_tests)
 
-    return run_inner
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(
+        run_inner, name=f"meshfit-{inner}-{'refit' if refit else 'em'}"
+    )
 
 
 def build_sharded_fit(mesh, inner, weighted, n_iter, n_iter_per_test, refit=False):

@@ -184,7 +184,9 @@ def _sparse_fit_program(mesh, local_docs, m, refit):
     def run(dev, zd, wz, w, tol, n_iter_, npt_):
         return run_local(dev, zd, wz, w, tol, n_iter_, npt_)
 
-    return run
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(run, name=f"sparsemesh-{'refit' if refit else 'em'}")
 
 
 def build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test, local_docs, m,
