@@ -100,6 +100,17 @@ def _batched_accumulators(X, zds, wzs, ws, bd, bw, precision_key="default"):
     R, _, kp = zds.shape
     grid = (n // bd, m // bw, R)
     precision = _resolve_precision(precision_key)
+    if _interpret() and n > bd:
+        # Pallas interpret mode mishandles input_output_aliases on blocks
+        # revisited non-consecutively (see ops/pallas_em.py, which routes its
+        # interpret path through an alias-free layout).  This batch kernel is
+        # a measured-and-rejected alternative kept only for device A/B tests,
+        # so off-TPU it refuses multi-row-block grids instead of silently
+        # corrupting the aliased A accumulator.
+        raise NotImplementedError(
+            "pallas_batch interpret mode supports single-row-block grids "
+            f"only (n={n} > bd={bd}); run on TPU or raise bd"
+        )
     a_zero = jnp.zeros((R, kp, m), jnp.float32)
 
     a_acc, b_acc = pl.pallas_call(

@@ -244,6 +244,21 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
+    if _interpret() and n > bd:
+        # Pallas INTERPRET mode mishandles input_output_aliases on blocks
+        # revisited non-consecutively (stale reads of the aliased input), so
+        # the aliased-A layout silently corrupts A whenever the grid has more
+        # than one row block.  Route interpret execution through the
+        # alias-free resident-B layout — identical per-tile math and
+        # accumulation order, so the factors are bit-identical.  Real-TPU
+        # execution keeps the aliased layout (device-validated; VMEM-bounded).
+        from .pallas_em_variants import em_accumulators_variant
+
+        return em_accumulators_variant(
+            X, p_z_given_d, p_w_given_z, sample_weight=sample_weight,
+            variant="jo_resident", bd=bd, bw=bw, compute_ll=compute_ll,
+            precision=precision,
+        )
     return _fused_em_call(X, p_z_given_d, p_w_given_z, w, bd, bw,
                           compute_ll=compute_ll, precision_key=precision)
 

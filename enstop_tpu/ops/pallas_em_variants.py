@@ -1,0 +1,250 @@
+"""Experimental grid layouts for the fused EM kernel (round-3 headroom work).
+
+Traffic analysis of the shipped kernel (ops/pallas_em.py) at 20NG scale
+(n_pad=18944, m_pad=25600, kp=128, bd=512, bw=1024, X bf16):
+
+    grid (i, j), i outer (j minor):
+      X stream                        n*m*2          = 0.97 GB
+      A aliased RMW per (i,j) visit   2*grid_i*kp*m*4 = 0.97 GB   <- dominates!
+      wz re-read per (i,j) visit      grid_i*kp*m*4   = 0.49 GB
+      zd / B (strip-resident)                         ~ 0.03 GB
+      total ~ 2.45 GB @ 819 GB/s ~ 3.0 ms  (matches the measured 2.84-3.4 ms:
+      the kernel is HBM-bound on ACCUMULATOR traffic, not on the X stream)
+
+Swapping the sweep order makes the (kp, bw) A tile and the wz tile functions
+of the OUTER index — both become strip-resident — and moves the RMW to the
+(bd, kp) B tile, which is 25x smaller per visit than A's per-strip totals:
+
+    variant "jo" — grid (j, i), j outer, B aliased RMW:
+      X 0.97 + B-RMW 0.49 + zd re-read 0.24 + A/wz 0.04 ~ 1.74 GB  (~1.4x less)
+
+    variant "jo_resident" — grid (j, i), whole B resident in VMEM scratch:
+      X 0.97 + zd 0.24 + A/wz/B 0.05 ~ 1.26 GB (~1.9x less); needs
+      n*kp*4 bytes of VMEM for B (9.7 MB at 20NG) on top of the tile buffers.
+
+The MXU floor (3 matmuls, 6*n*m*kp bf16 flops at 197 Tflop/s on v5e) is
+~1.9 ms/iter at this scale, so "jo_resident" should land MXU-bound.
+
+A and B accumulate in the SAME per-tile order as the shipped kernel (i-order
+for A, j-order for B), so factors are expected bit-identical; only the
+scalar ll reduction order changes (tolerance-level).
+
+Measured on TPU by scripts/exp_kernel_v3.py (queued for a live relay —
+scripts/tpu_round3_queue.sh); promote the winner into pallas_em.py only with
+numbers in hand.  CPU parity: tests/test_kernel_variants.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_em import (
+    _TINY,
+    _VMEM_BUDGET,
+    _cost,
+    _dot,
+    _interpret,
+    _resolve_precision,
+    _weights_col,
+    pick_block_shape,
+)
+
+__all__ = ["em_accumulators_variant", "VARIANTS"]
+
+VARIANTS = ("jo", "jo_resident")
+
+
+def _accumulate_scalar_first(ll_ref, value, is_first):
+    @pl.when(is_first)
+    def _():
+        ll_ref[0, 0] = value
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        ll_ref[0, 0] = ll_ref[0, 0] + value
+
+
+def _tile_math(x_ref, zd_ref, wz_ref, w_ref, precision):
+    x = x_ref[:].astype(jnp.float32)
+    zd = zd_ref[:]
+    wz = wz_ref[:]
+    w = w_ref[:]
+    s = _dot(zd, wz, ((1,), (0,)), precision)
+    s_safe = jnp.maximum(s, _TINY)
+    r = x / s_safe  # mask-free; see ops/pallas_em.py
+    a_tile = _dot(zd * w, r, ((0,), (0,)), precision)  # (kp, Bw)
+    b_tile = _dot(r, wz, ((1,), (1,)), precision)      # (Bd, kp)
+    return x, s_safe, w, a_tile, b_tile
+
+
+def _make_em_kernel_jo(compute_ll, precision):
+    """Grid (j, i), j outer: A and wz strip-resident, B aliased RMW."""
+
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, b_in_ref, a_ref, b_out_ref, ll_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        x, s_safe, w, a_tile, b_tile = _tile_math(
+            x_ref, zd_ref, wz_ref, w_ref, precision
+        )
+
+        # A: resident across the i-sweep of this column strip.
+        @pl.when(i == 0)
+        def _():
+            a_ref[:] = a_tile
+
+        @pl.when(i > 0)
+        def _():
+            a_ref[:] = a_ref[:] + a_tile
+
+        # B: aliased HBM accumulator (the revisit axis is now j).
+        b_out_ref[:] = b_in_ref[:] + b_tile
+
+        if compute_ll:
+            ll_tile = jnp.sum(x * jnp.log(s_safe) * w)
+            _accumulate_scalar_first(
+                ll_ref, ll_tile, jnp.logical_and(i == 0, j == 0)
+            )
+        else:
+            _accumulate_scalar_first(
+                ll_ref, jnp.float32(0.0), jnp.logical_and(i == 0, j == 0)
+            )
+
+    return kernel
+
+
+def _make_em_kernel_jo_resident(compute_ll, precision, bd):
+    """Grid (j, i), whole B held in the VMEM output block (constant index
+    map), sliced per row block — no HBM RMW traffic for either accumulator."""
+
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, a_ref, b_ref, ll_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        x, s_safe, w, a_tile, b_tile = _tile_math(
+            x_ref, zd_ref, wz_ref, w_ref, precision
+        )
+
+        @pl.when(i == 0)
+        def _():
+            a_ref[:] = a_tile
+
+        @pl.when(i > 0)
+        def _():
+            a_ref[:] = a_ref[:] + a_tile
+
+        rows = pl.ds(i * bd, bd)
+
+        @pl.when(j == 0)
+        def _():
+            b_ref[rows, :] = b_tile
+
+        @pl.when(j > 0)
+        def _():
+            b_ref[rows, :] = b_ref[rows, :] + b_tile
+
+        if compute_ll:
+            ll_tile = jnp.sum(x * jnp.log(s_safe) * w)
+            _accumulate_scalar_first(
+                ll_ref, ll_tile, jnp.logical_and(i == 0, j == 0)
+            )
+        else:
+            _accumulate_scalar_first(
+                ll_ref, jnp.float32(0.0), jnp.logical_and(i == 0, j == 0)
+            )
+
+    return kernel
+
+
+def _jo_in_specs(bd, bw, kp):
+    # grid ids arrive as (j, i)
+    return [
+        pl.BlockSpec((bd, bw), lambda j, i: (i, j), memory_space=pltpu.VMEM),  # X
+        pl.BlockSpec((bd, kp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),  # zd
+        pl.BlockSpec((kp, bw), lambda j, i: (0, j), memory_space=pltpu.VMEM),  # wz
+        pl.BlockSpec((bd, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),   # w
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("variant", "bd", "bw", "compute_ll", "precision_key")
+)
+def _fused_em_call_variant(X, zd, wz, w, variant, bd, bw, compute_ll=True,
+                           precision_key="default"):
+    n, m = X.shape
+    kp = zd.shape[1]
+    grid = (m // bw, n // bd)  # j outer, i inner
+    precision = _resolve_precision(precision_key)
+    cost = _cost(n, m, kp, transcendentals=n * m if compute_ll else 0)
+
+    if variant == "jo":
+        b_zero = jnp.zeros((n, kp), jnp.float32)
+        a_acc, b_acc, ll = pl.pallas_call(
+            _make_em_kernel_jo(compute_ll, precision),
+            grid=grid,
+            in_specs=_jo_in_specs(bd, bw, kp)
+            + [pl.BlockSpec((bd, kp), lambda j, i: (i, 0),
+                            memory_space=pltpu.VMEM)],                     # B in
+            out_specs=[
+                pl.BlockSpec((kp, bw), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),                     # A
+                pl.BlockSpec((bd, kp), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),                     # B out
+                pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                             memory_space=pltpu.SMEM),                     # ll
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kp, m), jnp.float32),
+                jax.ShapeDtypeStruct((n, kp), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            input_output_aliases={4: 1},
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+            interpret=_interpret(),
+        )(X, zd, wz, w, b_zero)
+        return a_acc, b_acc, ll[0, 0]
+
+    if variant == "jo_resident":
+        a_acc, b_acc, ll = pl.pallas_call(
+            _make_em_kernel_jo_resident(compute_ll, precision, bd),
+            grid=grid,
+            in_specs=_jo_in_specs(bd, bw, kp),
+            out_specs=[
+                pl.BlockSpec((kp, bw), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),                     # A
+                pl.BlockSpec((n, kp), lambda j, i: (0, 0),
+                             memory_space=pltpu.VMEM),                     # B whole
+                pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                             memory_space=pltpu.SMEM),                     # ll
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((kp, m), jnp.float32),
+                jax.ShapeDtypeStruct((n, kp), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+            interpret=_interpret(),
+        )(X, zd, wz, w)
+        return a_acc, b_acc, ll[0, 0]
+
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+def em_accumulators_variant(X, p_z_given_d, p_w_given_z, sample_weight=None,
+                            variant="jo", bd=None, bw=None, compute_ll=True,
+                            precision="default"):
+    """Raw ``(A, B, ll)`` accumulators — variant layouts of
+    :func:`enstop_tpu.ops.pallas_em.em_accumulators_fused` (same contract;
+    A/B expected bit-identical, ll reduction order differs)."""
+    n, m = X.shape
+    bd, bw = pick_block_shape(n, m, bd, bw)
+    w = _weights_col(sample_weight, n)
+    return _fused_em_call_variant(
+        X, p_z_given_d, p_w_given_z, w, variant, bd, bw,
+        compute_ll=compute_ll, precision_key=precision,
+    )
