@@ -1,37 +1,43 @@
 """Experimental grid layouts for the fused EM kernel (round-3 headroom work).
 
-Traffic analysis of the shipped kernel (ops/pallas_em.py) at 20NG scale
-(n_pad=18944, m_pad=25600, kp=128, bd=512, bw=1024, X bf16):
+HBM-traffic analysis of the shipped kernel (ops/pallas_em.py) per EM
+iteration at 20NG shape (n_pad=18944, m_pad=25600, bd=512, bw=1024, X bf16),
+with kp = round_up(k, 8):
 
     grid (i, j), i outer (j minor):
-      X stream                        n*m*2          = 0.97 GB
-      A aliased RMW per (i,j) visit   2*grid_i*kp*m*4 = 0.97 GB   <- dominates!
-      wz re-read per (i,j) visit      grid_i*kp*m*4   = 0.49 GB
-      zd / B (strip-resident)                         ~ 0.03 GB
-      total ~ 2.45 GB @ 819 GB/s ~ 3.0 ms  (matches the measured 2.84-3.4 ms:
-      the kernel is HBM-bound on ACCUMULATOR traffic, not on the X stream)
+      X stream                         n*m*2            = 0.97 GB
+      A aliased RMW per (i,j) visit    2*grid_i*kp*m*4  = 0.30 GB * (kp/32)
+      wz re-read per (i,j) visit       grid_i*kp*m*4    = 0.15 GB * (kp/32)
+      zd / B (strip-resident)                           ~ kp-proportional, small
+
+At k=20 (kp=24) the accumulator traffic is a minor term -- consistent with
+round-2's measurement that the step is MXU/VPU-bound there (int8-X halving
+of the X stream changed nothing; docs/PERFORMANCE.md).  At the BASELINE
+envelope's k=100/200 configs, A-RMW + wz re-reads scale with kp and reach
+~2.3 GB/iter at kp=200 -- comparable to the whole X stream -- while the
+measured step time (3.5x the k=20 step) sits well above both the MXU floor
+(6*n*m*kp_mxu bf16 flops) and the HBM floor, so there is headroom and the
+accumulator traffic is the most addressable share of it.
 
 Swapping the sweep order makes the (kp, bw) A tile and the wz tile functions
-of the OUTER index — both become strip-resident — and moves the RMW to the
-(bd, kp) B tile, which is 25x smaller per visit than A's per-strip totals:
+of the OUTER index -- both become strip-resident -- and moves the RMW to the
+(bd, kp) B tile:
 
-    variant "jo" — grid (j, i), j outer, B aliased RMW:
-      X 0.97 + B-RMW 0.49 + zd re-read 0.24 + A/wz 0.04 ~ 1.74 GB  (~1.4x less)
-
-    variant "jo_resident" — grid (j, i), whole B resident in VMEM scratch:
-      X 0.97 + zd 0.24 + A/wz/B 0.05 ~ 1.26 GB (~1.9x less); needs
-      n*kp*4 bytes of VMEM for B (9.7 MB at 20NG) on top of the tile buffers.
-
-The MXU floor (3 matmuls, 6*n*m*kp bf16 flops at 197 Tflop/s on v5e) is
-~1.9 ms/iter at this scale, so "jo_resident" should land MXU-bound.
+    variant "jo"          -- grid (j, i), j outer, B aliased RMW
+    variant "jo_resident" -- grid (j, i), whole B resident in VMEM
+                            (n*kp*4 bytes on top of the tile buffers; no
+                            HBM RMW traffic for either accumulator, and the
+                            only alias-free layout -- also the interpret-mode
+                            execution path, see pallas_em)
 
 A and B accumulate in the SAME per-tile order as the shipped kernel (i-order
 for A, j-order for B), so factors are expected bit-identical; only the
 scalar ll reduction order changes (tolerance-level).
 
-Measured on TPU by scripts/exp_kernel_v3.py (queued for a live relay —
-scripts/tpu_round3_queue.sh); promote the winner into pallas_em.py only with
-numbers in hand.  CPU parity: tests/test_kernel_variants.py.
+Measured on TPU by scripts/exp_kernel_v3.py, which sweeps k in {20, 100,
+200} (queued for a live relay -- scripts/tpu_round3_queue.sh); promote a
+winner into pallas_em.py only with numbers in hand.  CPU parity:
+tests/test_kernel_variants.py.
 """
 
 from __future__ import annotations

@@ -60,15 +60,15 @@ def main():
             print(f"parity {v}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
-    # ---- timing at 20NG scale --------------------------------------------
+    # ---- timing at 20NG shape, k in {20, 100, 200} ------------------------
+    # k=20 is the headline config (expected near-tied: the accumulator
+    # traffic is minor at kp=24); k=100/200 are the BASELINE envelope
+    # configs where A-RMW + wz re-reads scale with kp and the j-outer
+    # layouts should win (see ops/pallas_em_variants.py docstring).
     X = synthetic_20ng()
     prep = prepare_counts(X)
     Xd = prep.device_array
     n_pad, m_pad = Xd.shape
-    zd0, wz0 = plsa_init(X, 20, rng=np.random.RandomState(1))
-    zd, wz = pad_factors(zd0, wz0, n_pad, m_pad)
-    zd, wz = jnp.asarray(zd), jnp.asarray(wz)
-    w = jnp.ones((n_pad, 1), jnp.float32)
     bd, bw = pallas_em.pick_block_shape(n_pad, m_pad)
     N_STEPS = 20
     TINY = 1e-30
@@ -105,29 +105,36 @@ def main():
         return f
 
     results = {}
-    for name, accum in [("shipped", accum_shipped)] + [
-        (v, accum_variant(v)) for v in VARIANTS
-    ]:
-        loop = make_loop(accum)
-        try:
-            t0 = time.time()
-            out = loop(Xd, zd, wz, w, jnp.int32(N_STEPS))
-            _ = np.asarray(out[0][:1, :1])
-            compile_s = time.time() - t0
-            walls = []
-            for _rep in range(3):
+    for k in (20, 100, 200):
+        zd0, wz0 = plsa_init(X, k, rng=np.random.RandomState(1))
+        zd, wz = pad_factors(zd0, wz0, n_pad, m_pad)
+        zd, wz = jnp.asarray(zd), jnp.asarray(wz)
+        w = jnp.ones((n_pad, 1), jnp.float32)
+        for name, accum in [("shipped", accum_shipped)] + [
+            (v, accum_variant(v)) for v in VARIANTS
+        ]:
+            loop = make_loop(accum)
+            key = f"k{k}/{name}"
+            try:
                 t0 = time.time()
                 out = loop(Xd, zd, wz, w, jnp.int32(N_STEPS))
                 _ = np.asarray(out[0][:1, :1])
-                walls.append(time.time() - t0)
-            per_iter_ms = min(walls) / N_STEPS * 1e3
-            results[name] = per_iter_ms
-            print(f"{name}: {per_iter_ms:.3f} ms/iter (compile {compile_s:.0f}s,"
-                  f" walls {['%.3f' % x for x in walls]})", file=sys.stderr)
-        except Exception as e:
-            results[name] = None
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                  file=sys.stderr)
+                compile_s = time.time() - t0
+                walls = []
+                for _rep in range(3):
+                    t0 = time.time()
+                    out = loop(Xd, zd, wz, w, jnp.int32(N_STEPS))
+                    _ = np.asarray(out[0][:1, :1])
+                    walls.append(time.time() - t0)
+                per_iter_ms = min(walls) / N_STEPS * 1e3
+                results[key] = per_iter_ms
+                print(f"{key}: {per_iter_ms:.3f} ms/iter (compile "
+                      f"{compile_s:.0f}s, walls {['%.3f' % x for x in walls]})",
+                      file=sys.stderr)
+            except Exception as e:
+                results[key] = None
+                print(f"{key}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                      file=sys.stderr)
 
     print({"per_iter_ms": results, "bd": bd, "bw": bw,
            "shape": (n_pad, m_pad)})

@@ -43,9 +43,9 @@ step ensemble python scripts/bench_ensemble_e2e.py
 #    mode cannot catch Mosaic lowering bugs)
 step kernel_smoke python scripts/exp_dense_smoke.py
 
-# 5. round-3 kernel grid-layout sweep (predicted 1.4-1.9x per-iter from the
-#    HBM traffic analysis; device parity + timing vs the shipped kernel)
-step kernel_v3 python scripts/exp_kernel_v3.py
+# 5. round-3 kernel grid-layout sweep: device parity + timing vs the shipped
+#    kernel at k in {20, 100, 200} (9 loop programs to compile -> long budget)
+STEP_TIMEOUT=5400 step kernel_v3 python scripts/exp_kernel_v3.py
 
 # 6. second bench run: if the runtime supports SerializeExecutable, this one
 #    loads the fit program from the AOT disk cache (compare "# aot_cache"
