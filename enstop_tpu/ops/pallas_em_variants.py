@@ -62,7 +62,7 @@ from .pallas_em import (
 
 __all__ = ["em_accumulators_variant", "VARIANTS"]
 
-VARIANTS = ("jo", "jo_resident")
+VARIANTS = ("jo", "jo_resident", "jo_res_bf16r")
 
 
 def _accumulate_scalar_first(ll_ref, value, is_first):
@@ -75,16 +75,28 @@ def _accumulate_scalar_first(ll_ref, value, is_first):
         ll_ref[0, 0] = ll_ref[0, 0] + value
 
 
-def _tile_math(x_ref, zd_ref, wz_ref, w_ref, precision):
+def _tile_math(x_ref, zd_ref, wz_ref, w_ref, precision, bf16_r=False):
+    """Per-tile E+M math.  With ``bf16_r`` the responsibilities ratio is
+    computed and fed to the MXU in bf16: under DEFAULT matmul precision the
+    MXU sees bf16 inputs either way, and a correctly-rounded bf16 division
+    equals the bf16 rounding of the f32 quotient up to rare double-rounding
+    ties — but the f32 cast-up of X, the f32 divide, and the cast-down
+    before the MXU all disappear from the VPU stream.  Only meaningful for
+    the hot ``compute_ll=False`` step; the LL term stays f32."""
     x = x_ref[:].astype(jnp.float32)
     zd = zd_ref[:]
     wz = wz_ref[:]
     w = w_ref[:]
     s = _dot(zd, wz, ((1,), (0,)), precision)
     s_safe = jnp.maximum(s, _TINY)
-    r = x / s_safe  # mask-free; see ops/pallas_em.py
-    a_tile = _dot(zd * w, r, ((0,), (0,)), precision)  # (kp, Bw)
-    b_tile = _dot(r, wz, ((1,), (1,)), precision)      # (Bd, kp)
+    if bf16_r:
+        r = x_ref[:].astype(jnp.bfloat16) / s_safe.astype(jnp.bfloat16)
+        a_tile = _dot((zd * w).astype(jnp.bfloat16), r, ((0,), (0,)), precision)
+        b_tile = _dot(r, wz.astype(jnp.bfloat16), ((1,), (1,)), precision)
+    else:
+        r = x / s_safe  # mask-free; see ops/pallas_em.py
+        a_tile = _dot(zd * w, r, ((0,), (0,)), precision)  # (kp, Bw)
+        b_tile = _dot(r, wz, ((1,), (1,)), precision)      # (Bd, kp)
     return x, s_safe, w, a_tile, b_tile
 
 
@@ -123,7 +135,7 @@ def _make_em_kernel_jo(compute_ll, precision):
     return kernel
 
 
-def _make_em_kernel_jo_resident(compute_ll, precision, bd):
+def _make_em_kernel_jo_resident(compute_ll, precision, bd, bf16_r=False):
     """Grid (j, i), whole B held in the VMEM output block (constant index
     map), sliced per row block — no HBM RMW traffic for either accumulator."""
 
@@ -131,7 +143,7 @@ def _make_em_kernel_jo_resident(compute_ll, precision, bd):
         j = pl.program_id(0)
         i = pl.program_id(1)
         x, s_safe, w, a_tile, b_tile = _tile_math(
-            x_ref, zd_ref, wz_ref, w_ref, precision
+            x_ref, zd_ref, wz_ref, w_ref, precision, bf16_r=bf16_r
         )
 
         @pl.when(i == 0)
@@ -214,9 +226,10 @@ def _fused_em_call_variant(X, zd, wz, w, variant, bd, bw, compute_ll=True,
         )(X, zd, wz, w, b_zero)
         return a_acc, b_acc, ll[0, 0]
 
-    if variant == "jo_resident":
+    if variant in ("jo_resident", "jo_res_bf16r"):
         a_acc, b_acc, ll = pl.pallas_call(
-            _make_em_kernel_jo_resident(compute_ll, precision, bd),
+            _make_em_kernel_jo_resident(compute_ll, precision, bd,
+                                        bf16_r=variant == "jo_res_bf16r"),
             grid=grid,
             in_specs=_jo_in_specs(bd, bw, kp),
             out_specs=[

@@ -87,6 +87,21 @@ def test_fused_interpret_multiblock_matches_oracle():
     np.testing.assert_allclose(float(ll), ll0, rtol=1e-5)
 
 
+def test_jo_res_bf16r_close_to_oracle():
+    """The bf16-responsibilities variant trades the f32 VPU divide for bf16
+    (~2^-8 relative rounding per entry); accumulators are same-sign sums so
+    the relative error stays at bf16 rounding scale."""
+    X, zd, wz, w = _padded_problem(4, weighted=True)
+    a, b, ll = em_accumulators_variant(
+        jnp.asarray(X), jnp.asarray(zd), jnp.asarray(wz),
+        sample_weight=jnp.asarray(w), variant="jo_res_bf16r", bd=16, bw=256,
+    )
+    A0, B0, ll0 = _oracle(X, zd, wz, w)
+    np.testing.assert_allclose(np.asarray(a), A0, rtol=2e-2, atol=0.05)
+    np.testing.assert_allclose(np.asarray(b), B0, rtol=2e-2, atol=0.05)
+    np.testing.assert_allclose(float(ll), ll0, rtol=1e-4)
+
+
 def test_jo_single_strip_matches_jo_resident():
     """With one column strip the aliased B block is visited once, so the jo
     layout is interpret-safe; both variants share per-tile math and
