@@ -248,4 +248,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        # single-shot relay liveness check for shell scripts (exit 0 = alive);
+        # the ONE probe definition lives here (_PROBE_CODE) so the watcher
+        # and queue scripts cannot drift from bench's own gating semantics
+        timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 150.0
+        raise SystemExit(0 if _device_responsive_once(timeout_s) else 1)
     main()

@@ -39,13 +39,19 @@ import pickle
 import tempfile
 import threading
 import warnings
+import weakref
 from pathlib import Path
 
 __all__ = ["AotCached", "maybe_wrap", "cache_dir", "enabled", "clear_memory"]
 
-_DEFAULT_DIR = "/tmp/enstop_aot_cache"
+# per-user by default: entries are pickles that get loaded and executed, so
+# a world-writable shared directory (/tmp) would let another local user
+# plant code; ENSTOP_AOT_DIR overrides for users who know their trust domain
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "enstop_tpu", "aot"
+)
 _LOCK = threading.Lock()
-_WRAPPERS = []
+_WRAPPERS = weakref.WeakSet()
 
 
 def cache_dir() -> Path:
@@ -54,9 +60,14 @@ def cache_dir() -> Path:
     return d
 
 
+def _env_flag(name, default="0"):
+    return os.environ.get(name, default).strip().lower() in (
+        "1", "on", "true", "auto", "yes",
+    )
+
+
 def enabled() -> bool:
-    v = os.environ.get("ENSTOP_AOT_CACHE", "0").strip().lower()
-    return v in ("1", "on", "true", "auto")
+    return _env_flag("ENSTOP_AOT_CACHE")
 
 
 def _backend_tag() -> str:
@@ -108,7 +119,10 @@ class AotCached:
         self.name = name
         self._mem = {}
         self.stats = {"disk_hits": 0, "disk_misses": 0, "mem_hits": 0}
-        _WRAPPERS.append(self)
+        # WeakSet: the registry must not outlive the lru_cache'd builders
+        # that own the wrappers (a strong list would pin every evicted
+        # program's executables forever)
+        _WRAPPERS.add(self)
 
     def __call__(self, *args):
         if not enabled():
@@ -137,7 +151,7 @@ class AotCached:
         # is nondeterministic across processes).  Only single-device
         # programs use the disk path unless explicitly overridden for
         # hardware where the round-trip has been validated.
-        if not os.environ.get("ENSTOP_AOT_MULTIDEV"):
+        if not _env_flag("ENSTOP_AOT_MULTIDEV"):
             try:
                 devs = set()
                 import jax

@@ -66,6 +66,21 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def _env_kernel_variant():
+    import os
+
+    v = os.environ.get("ENSTOP_EM_KERNEL", "").strip().lower()
+    if not v or v in ("default", "shipped"):
+        return None
+    from .pallas_em_variants import VARIANTS
+
+    if v not in VARIANTS:
+        raise ValueError(
+            f"ENSTOP_EM_KERNEL={v!r} unknown (choose from {VARIANTS})"
+        )
+    return v
+
+
 def _resolve_precision(precision):
     if precision in (None, "highest"):
         return jax.lax.Precision.HIGHEST
@@ -244,6 +259,19 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
+    variant = _env_kernel_variant()
+    if variant:
+        # Opt-in experimental grid layout (ENSTOP_EM_KERNEL=jo|jo_resident|
+        # jo_res_bf16r) — lets bench.py / the TPU queue measure a candidate
+        # through the PRODUCTION fit programs with no code change.  Read at
+        # trace time: set it before the first fit of the process.
+        from .pallas_em_variants import em_accumulators_variant
+
+        return em_accumulators_variant(
+            X, p_z_given_d, p_w_given_z, sample_weight=sample_weight,
+            variant=variant, bd=bd, bw=bw, compute_ll=compute_ll,
+            precision=precision,
+        )
     if _interpret() and n > bd:
         # Pallas INTERPRET mode mishandles input_output_aliases on blocks
         # revisited non-consecutively (stale reads of the aliased input), so

@@ -581,16 +581,16 @@ def sell_fit(
             jnp.int32(n_iter), jnp.int32(n_iter_per_test),
         )
 
+    # NB: prep.src (the caller's scipy matrix, held by reference — no copy)
+    # stays pinned even after a successful fit: a later call on the same
+    # prepared corpus with a different k / threshold / refit is a SEPARATE
+    # compile that can still be rejected and need the chunks fallback.
     try:
-        out = attempt()
+        return attempt()
     except Exception as err:
         if not _fallback_to_chunks(prep, err):
             raise
         return attempt()
-    # the full fit program compiled at this scale, which proves the layout
-    # (the refit program is a strict subset): release the host corpus pin
-    prep.src = None
-    return out
 
 
 def sell_refit(

@@ -6,12 +6,8 @@ set -u
 cd "$(dirname "$0")/.."
 
 while true; do
-  if timeout 150 python -c "
-import numpy as np, jax
-x = jax.device_put(np.ones(8, np.float32))
-assert float(np.asarray(x).sum()) == 8.0
-print('relay alive')
-" 2>/dev/null; then
+  # the probe definition lives in bench.py (_PROBE_CODE) — one source of truth
+  if timeout 200 python bench.py --probe 150; then
     date +%s > /tmp/relay_alive
     echo "relay ALIVE at $(date +%T) — launching round-3 queue"
     bash scripts/tpu_round3_queue.sh

@@ -17,17 +17,13 @@ step() {
   echo "=== $name done rc=$? $(date +%T) (log: /tmp/tpu_q_${name}.log) ==="
 }
 
-# 0. liveness gate — bail fast if the relay is still dead
-if ! timeout 150 python -c "
-import numpy as np, jax
-jax.default_backend()
-x = jax.device_put(np.ones(8, np.float32))
-assert float(np.asarray(x).sum()) == 8.0
-print('relay alive')
-"; then
+# 0. liveness gate — bail fast if the relay is still dead (the probe
+#    definition lives in bench.py:_PROBE_CODE — one source of truth)
+if ! timeout 200 python bench.py --probe 150; then
   echo "relay DEAD — aborting queue"
   exit 1
 fi
+echo "relay alive"
 
 # 1. can compiled executables be serialized? (would kill the per-process
 #    remote-compile cost — integrate into bench.py if rc=0)
@@ -51,5 +47,10 @@ STEP_TIMEOUT=5400 step kernel_v3 python scripts/exp_kernel_v3.py
 #    loads the fit program from the AOT disk cache (compare "# aot_cache"
 #    stderr lines between /tmp/tpu_q_bench.log and this log)
 step bench_aot_warm python bench.py
+
+# 7. full bench through the production fit program with the jo_resident grid
+#    layout (apples-to-apples Gupd/s vs step 2; ENSTOP_EM_KERNEL is read at
+#    trace time so the fresh process compiles the variant program)
+ENSTOP_EM_KERNEL=jo_resident ENSTOP_AOT_CACHE=0 step bench_jores python bench.py
 
 echo "=== queue complete $(date +%T) ==="

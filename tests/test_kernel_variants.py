@@ -117,6 +117,21 @@ def test_jo_single_strip_matches_jo_resident():
     np.testing.assert_allclose(float(ll1), float(ll2), rtol=1e-6)
 
 
+def test_env_kernel_variant_routing(monkeypatch):
+    """ENSTOP_EM_KERNEL routes the production accumulator entry point to a
+    variant layout (read at trace time); unknown names fail loudly."""
+    X, zd, wz, _ = _padded_problem(5)
+    args = (jnp.asarray(X), jnp.asarray(zd), jnp.asarray(wz))
+    base = pallas_em.em_accumulators_fused(*args, bd=16, bw=256)
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "jo_resident")
+    routed = pallas_em.em_accumulators_fused(*args, bd=16, bw=256)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(routed[0]))
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(routed[1]))
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "bogus")
+    with pytest.raises(ValueError, match="ENSTOP_EM_KERNEL"):
+        pallas_em.em_accumulators_fused(*args, bd=16, bw=256)
+
+
 def test_fused_multiblock_em_trajectory_matches_oracle():
     """Three multiplicative-update steps through the fixed interpret path
     track a float64 numpy EM to f32 tolerance on a multi-row-block grid."""

@@ -448,9 +448,12 @@ def test_sell_user_errors_do_not_trigger_fallback(rng, monkeypatch):
     assert prep.kind == "sell"  # untouched: no repack happened
 
 
-def test_sell_src_released_after_successful_fit(rng):
-    """The host corpus pin exists only until the fit program is proven to
-    compile at this scale; afterwards it is released."""
+def test_sell_src_stays_pinned_after_successful_fit(rng):
+    """The host corpus pin must SURVIVE a successful fit: a later call on
+    the same prepared corpus with a different k / threshold / refit is a
+    separate compile that can still be rejected and need the chunks
+    fallback (the pin is a reference to the caller's matrix, not a copy,
+    so keeping it costs nothing)."""
     import enstop_tpu.ops.sell as sell_mod
     from enstop_tpu.ops.init import plsa_init
 
@@ -459,4 +462,4 @@ def test_sell_src_released_after_successful_fit(rng):
     assert prep.src is not None
     pzd0, pwz0 = plsa_init(X, 3, rng=np.random.RandomState(0))
     sell_mod.sell_fit(prep, pzd0, pwz0, n_iter=4)
-    assert prep.src is None
+    assert prep.src is not None  # still available to _fallback_to_chunks
