@@ -342,8 +342,17 @@ def refit_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, b
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    b_acc, ll = _fused_refit_call(X, p_z_given_d, p_w_given_z, w, bd, bw,
-                                  compute_ll=compute_ll, precision_key=precision)
+    if _env_kernel_variant():
+        from .pallas_em_variants import refit_accumulator_variant
+
+        b_acc, ll = refit_accumulator_variant(
+            X, p_z_given_d, p_w_given_z, sample_weight=sample_weight,
+            variant=_env_kernel_variant(), bd=bd, bw=bw,
+            compute_ll=compute_ll, precision=precision,
+        )
+    else:
+        b_acc, ll = _fused_refit_call(X, p_z_given_d, p_w_given_z, w, bd, bw,
+                                      compute_ll=compute_ll, precision_key=precision)
     next_zd = p_z_given_d * b_acc
     next_zd = next_zd / jnp.maximum(next_zd.sum(axis=1, keepdims=True), _TINY)
     return next_zd, ll

@@ -60,7 +60,7 @@ from .pallas_em import (
     pick_block_shape,
 )
 
-__all__ = ["em_accumulators_variant", "VARIANTS"]
+__all__ = ["em_accumulators_variant", "refit_accumulator_variant", "VARIANTS"]
 
 VARIANTS = ("jo", "jo_resident", "jo_res_bf16r")
 
@@ -175,6 +175,94 @@ def _make_em_kernel_jo_resident(compute_ll, precision, bd, bf16_r=False):
             )
 
     return kernel
+
+
+def _make_refit_kernel_jo_resident(compute_ll, precision, bd, bf16_r=False):
+    """Frozen-topics step, grid (j, i) with the whole B in VMEM.  vs the
+    shipped i-outer refit: wz is read once per column strip instead of once
+    per (i, j) visit — the kp-proportional traffic drops from grid_i*kp*m*4
+    to grid_j*n*kp*4 (about half at 20NG shape) and B never touches HBM
+    until the final writeback."""
+
+    def kernel(x_ref, zd_ref, wz_ref, w_ref, b_ref, ll_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        x = x_ref[:].astype(jnp.float32)
+        zd = zd_ref[:]
+        wz = wz_ref[:]
+        s = _dot(zd, wz, ((1,), (0,)), precision)
+        s_safe = jnp.maximum(s, _TINY)
+        if bf16_r:
+            r = x_ref[:].astype(jnp.bfloat16) / s_safe.astype(jnp.bfloat16)
+            b_tile = _dot(r, wz.astype(jnp.bfloat16), ((1,), (1,)), precision)
+        else:
+            r = x / s_safe
+            b_tile = _dot(r, wz, ((1,), (1,)), precision)
+
+        rows = pl.ds(i * bd, bd)
+
+        @pl.when(j == 0)
+        def _():
+            b_ref[rows, :] = b_tile
+
+        @pl.when(j > 0)
+        def _():
+            b_ref[rows, :] = b_ref[rows, :] + b_tile
+
+        if compute_ll:
+            ll_tile = jnp.sum(x * jnp.log(s_safe) * w_ref[:])
+            _accumulate_scalar_first(
+                ll_ref, ll_tile, jnp.logical_and(i == 0, j == 0)
+            )
+        else:
+            _accumulate_scalar_first(
+                ll_ref, jnp.float32(0.0), jnp.logical_and(i == 0, j == 0)
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("variant", "bd", "bw", "compute_ll", "precision_key")
+)
+def _fused_refit_call_variant(X, zd, wz, w, variant, bd, bw, compute_ll=True,
+                              precision_key="default"):
+    n, m = X.shape
+    kp = zd.shape[1]
+    grid = (m // bw, n // bd)
+    precision = _resolve_precision(precision_key)
+    b_acc, ll = pl.pallas_call(
+        _make_refit_kernel_jo_resident(compute_ll, precision, bd,
+                                       bf16_r=variant == "jo_res_bf16r"),
+        grid=grid,
+        in_specs=_jo_in_specs(bd, bw, kp),
+        out_specs=[
+            pl.BlockSpec((n, kp), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=_cost(n, m, kp, transcendentals=n * m if compute_ll else 0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=_interpret(),
+    )(X, zd, wz, w)
+    return b_acc, ll[0, 0]
+
+
+def refit_accumulator_variant(X, p_z_given_d, p_w_given_z, sample_weight=None,
+                              variant="jo_resident", bd=None, bw=None,
+                              compute_ll=True, precision="default"):
+    """(B, ll) for the frozen-topics step via the j-outer resident layout
+    (any variant name maps here for refit; "jo" has no separate refit form)."""
+    n, m = X.shape
+    bd, bw = pick_block_shape(n, m, bd, bw)
+    w = _weights_col(sample_weight, n)
+    return _fused_refit_call_variant(
+        X, p_z_given_d, p_w_given_z, w, variant, bd, bw,
+        compute_ll=compute_ll, precision_key=precision,
+    )
 
 
 def _jo_in_specs(bd, bw, kp):

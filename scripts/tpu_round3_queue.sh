@@ -53,4 +53,8 @@ step bench_aot_warm python bench.py
 #    trace time so the fresh process compiles the variant program)
 ENSTOP_EM_KERNEL=jo_resident ENSTOP_AOT_CACHE=0 step bench_jores python bench.py
 
+# 8. ensemble E2E through the variant layouts (exercises the refit variant
+#    too; compare to step 3's number)
+ENSTOP_EM_KERNEL=jo_resident step ensemble_jores python scripts/bench_ensemble_e2e.py
+
 echo "=== queue complete $(date +%T) ==="

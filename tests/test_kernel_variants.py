@@ -132,6 +132,37 @@ def test_env_kernel_variant_routing(monkeypatch):
         pallas_em.em_accumulators_fused(*args, bd=16, bw=256)
 
 
+def test_refit_variant_matches_shipped_refit():
+    """The j-outer resident refit layout must reproduce the shipped refit
+    accumulator bit-for-bit in tile order... it accumulates over j in the
+    same order, so B is bit-identical; ll order differs (tolerance)."""
+    from enstop_tpu.ops.pallas_em_variants import refit_accumulator_variant
+
+    X, zd, wz, w = _padded_problem(6, weighted=True)
+    args = (jnp.asarray(X), jnp.asarray(zd), jnp.asarray(wz))
+    b0, ll0 = pallas_em._fused_refit_call(
+        *args, jnp.asarray(w).reshape(-1, 1), 16, 256,
+        compute_ll=True, precision_key="default",
+    )
+    b1, ll1 = refit_accumulator_variant(
+        *args, sample_weight=jnp.asarray(w), variant="jo_resident",
+        bd=16, bw=256, compute_ll=True,
+    )
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_allclose(float(ll0), float(ll1), rtol=1e-5)
+
+
+def test_refit_env_routing(monkeypatch):
+    """transform-path parity through the env switch: refit_step_fused routed
+    to the variant produces the same next P(z|d)."""
+    X, zd, wz, _ = _padded_problem(7)
+    args = (jnp.asarray(X), jnp.asarray(zd), jnp.asarray(wz))
+    base, ll_b = pallas_em.refit_step_fused(*args, bd=16, bw=256)
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "jo_resident")
+    routed, ll_r = pallas_em.refit_step_fused(*args, bd=16, bw=256)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(routed))
+
+
 def test_fused_multiblock_em_trajectory_matches_oracle():
     """Three multiplicative-update steps through the fixed interpret path
     track a float64 numpy EM to f32 tolerance on a multi-row-block grid."""
