@@ -181,7 +181,9 @@ def _device_densify_fn(n_pad, m_pad, out_bf16):
             vals.astype(out_dtype), indices_are_sorted=True
         )
 
-    return densify
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(densify, name=f"densify-{n_pad}x{m_pad}")
 
 
 def _stage_dense_via_device(X, n_pad, m_pad, n, m, x_dtype):

@@ -110,7 +110,9 @@ def _build_mu_loop(beta_loss, update_H):
         # n_iter and regs are traced: one compiled program per (beta_loss, update_H)
         return jax.lax.fori_loop(0, n_iter, body, (W, H))
 
-    return run
+    from ..aot_cache import maybe_wrap
+
+    return maybe_wrap(run, name=f"nmf-mu-{beta_loss}-{int(update_H)}")
 
 
 def nmf_fit_mu(

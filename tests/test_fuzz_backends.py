@@ -109,6 +109,39 @@ def test_dense_backends_fuzz(seed):
     _agree(got_pallas, want, n, m, k)
 
 
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("backend", ["xla", "pallas", "sparse"])
+def test_full_fit_trajectory_fuzz(seed, backend):
+    """End-to-end driver fits on random configs must follow the oracle's
+    exact convergence schedule (same early-stop step count, same tested
+    log-likelihoods) regardless of backend."""
+    import oracle
+    from enstop_tpu.ops.driver import plsa_fit
+    from enstop_tpu.ops.init import plsa_init
+
+    X, _, _, w, _ = _random_config(seed + 200)
+    k = 4
+    pzd, pwz = plsa_init(X, k, rng=np.random.RandomState(seed))
+    Xc = X.tocoo()
+    n_iter, npt, tol = 25, 5, 0.01
+    want_zd, want_wz, want_steps, want_lls = oracle.fit(
+        Xc.row, Xc.col, Xc.data.astype(np.float64), pzd, pwz, *X.shape,
+        n_iter=n_iter, n_iter_per_test=npt, tolerance=tol,
+        sample_weight=w,
+    )
+    zd, wz, info = plsa_fit(
+        X, k, sample_weight=w, init=(pzd, pwz), n_iter=n_iter,
+        n_iter_per_test=npt, tolerance=tol, backend=backend,
+        x_dtype=np.float32, return_info=True,
+    )
+    assert info["n_steps"] == want_steps, (backend, seed)
+    np.testing.assert_allclose(
+        info["ll_trace"], np.array(want_lls), rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(zd), want_zd, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wz), want_wz, rtol=5e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_refit_step_fuzz(seed):
     X, zd, wz, w, _ = _random_config(seed + 100)
