@@ -27,6 +27,8 @@ class TPUPLSA(PLSA):
         n_iter_per_test=10,
         tolerance=0.001,
         e_step_thresh=1e-32,
+        n_row_blocks=8,
+        n_col_blocks=8,
         transform_random_seed=42,
         random_state=None,
         backend="pallas",
@@ -42,6 +44,13 @@ class TPUPLSA(PLSA):
             random_state=random_state,
             backend=backend,
         )
+        # Reference-signature compatibility (cuda_plsa.py:357-368): the CUDA
+        # variant asks the USER for its tile-grid shape; here the Pallas
+        # kernel picks hardware-aligned tile sizes itself (ops/pallas_em.py:
+        # pick_block_shape), so these are accepted — sklearn get_params/
+        # set_params round-trip them — but do not alter execution.
+        self.n_row_blocks = n_row_blocks
+        self.n_col_blocks = n_col_blocks
 
     def fit_transform(self, X, y=None, sample_weight=None):
         if self.backend == "pallas" and jax.default_backend() not in ("tpu",):

@@ -27,6 +27,24 @@ def test_module_level_driver_symbols():
     )
 
 
+def test_gpuplsa_reference_constructor_signature():
+    """The reference's GPUPLSA takes a tile-grid shape (cuda_plsa.py:357-368);
+    a drop-in user passing it must not break, and sklearn param plumbing must
+    round-trip it."""
+    from sklearn.base import clone
+
+    from enstop_tpu.cuda_plsa import GPUPLSA
+
+    m = GPUPLSA(n_components=3, n_iter=4, n_row_blocks=4, n_col_blocks=2,
+                random_state=0, backend="xla")
+    params = m.get_params()
+    assert params["n_row_blocks"] == 4 and params["n_col_blocks"] == 2
+    m2 = clone(m)
+    assert m2.n_row_blocks == 4
+    m.fit(_corpus())
+    assert m.components_.shape[0] == 3
+
+
 def test_functional_variant_fits_return_factors():
     """Each variant's module-level plsa_fit returns (P(z|d), P(w|z)) like the
     reference's, at its reference signature."""
