@@ -16,6 +16,7 @@ import numpy as np
 from scipy.sparse import coo_matrix, issparse
 from sklearn.utils import check_array, check_random_state
 
+from ..utils import _check_sample_weight
 from .base import TopicModelBase, reinsert_zero_rows, split_zero_rows, validate_corpus
 from .streamed_core import streamed_fit_core, streamed_refit_core
 
@@ -79,14 +80,17 @@ class StreamedPLSA(TopicModelBase):
         self.history_ = np.asarray(ll_trace, dtype=np.float64)
         return self.embedding_
 
-    def transform(self, X, y=None):
+    def transform(self, X, y=None, sample_weight=None):
         X = check_array(X, accept_sparse="csr")
         self._validate_transform_input(X)
         if not issparse(X):
             X = coo_matrix(X).tocsr()
+        if sample_weight is not None:
+            sample_weight = _check_sample_weight(sample_weight, X)
         return streamed_refit_core(
             X,
             self.components_,
+            sample_weight=sample_weight,
             block_docs=self.block_size,
             n_iter=50,
             n_iter_per_test=5,

@@ -274,6 +274,7 @@ def streamed_fit_core(
 def streamed_refit_core(
     X,
     topics,
+    sample_weight=None,
     block_docs=65536,
     n_iter=50,
     n_iter_per_test=10,
@@ -294,6 +295,11 @@ def streamed_refit_core(
     reference's own refit gate is dead, plsa.py:913; fixed here like every
     other backend).  ``e_step_thresh`` is applied exactly when material,
     like the resident sparse path.
+
+    ``sample_weight`` matches the reference's streamed refit semantics
+    (streamed_plsa.py:713-957): the frozen-topic M-step ignores it and only
+    the convergence log-likelihood is doc-weighted (both block-step paths
+    here already apply ``w`` to the LL term only).
     """
     from sklearn.utils import check_random_state
 
@@ -317,8 +323,12 @@ def streamed_refit_core(
     z0 /= z0.sum(axis=1, keepdims=True)
     zd_blocks = [jnp.asarray(z0[lo:hi].astype(np.float32))
                  for lo, hi in store.block_rows]
-    w_blocks = [jnp.ones((hi - lo,), jnp.float32)
-                for lo, hi in store.block_rows]
+    if sample_weight is not None and np.any(np.asarray(sample_weight) != 1.0):
+        sw = np.asarray(sample_weight, np.float32)
+        w_blocks = [jnp.asarray(sw[lo:hi]) for lo, hi in store.block_rows]
+    else:
+        w_blocks = [jnp.ones((hi - lo,), jnp.float32)
+                    for lo, hi in store.block_rows]
 
     n_iter = int(n_iter)
     if n_iter < 1:

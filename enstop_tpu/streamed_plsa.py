@@ -33,6 +33,7 @@ def plsa_fit(
 def plsa_refit(
     X,
     topics,
+    sample_weight=None,
     block_size=65536,
     n_iter=50,
     n_iter_per_test=10,
@@ -41,10 +42,12 @@ def plsa_refit(
     random_state=None,
 ):
     """Functional streamed refit, reference signature
-    (streamed_plsa.py:959-1039): returns the document vectors."""
+    (streamed_plsa.py:959-1039): returns the document vectors.
+    ``sample_weight`` weights only the convergence log-likelihood, exactly
+    like the reference (the frozen-topic M-step ignores it)."""
     return streamed_plsa_refit(
-        X, topics, block_docs=block_size, n_iter=n_iter,
-        n_iter_per_test=n_iter_per_test, tolerance=tolerance,
+        X, topics, sample_weight=sample_weight, block_docs=block_size,
+        n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
         e_step_thresh=e_step_thresh, random_state=random_state,
     )
 

@@ -126,3 +126,60 @@ def test_streamed_refit_thresh(rng):
                                     n_iter_per_test=5, tolerance=0.0,
                                     random_state=np.random.RandomState(5))
     assert np.abs(streamed - no_thresh).max() > 1e-6
+
+
+def test_streamed_refit_sample_weight_semantics(rng):
+    """Reference streamed refit semantics (streamed_plsa.py:713-957):
+    sample_weight weights ONLY the convergence log-likelihood — the
+    frozen-topic M-step ignores it.  So (a) with tolerance=0 (no early
+    stop) weights cannot change the embedding at all, and (b) a uniform
+    scalar weight is a no-op even WITH early stopping (the relative-change
+    test is scale-invariant)."""
+    from enstop_tpu.models.streamed_core import streamed_refit_core
+
+    X = make_corpus(rng, n_docs=70, n_words=60, seed=23)
+    Xs = sp.csr_matrix(X)
+    topics = PLSA(n_components=4, n_iter=12, random_state=0,
+                  backend="xla").fit(Xs).components_
+
+    w = rng.uniform(0.2, 5.0, size=Xs.shape[0]).astype(np.float32)
+    base = streamed_refit_core(Xs, topics, block_docs=24, n_iter=15,
+                               n_iter_per_test=5, tolerance=0.0,
+                               random_state=np.random.RandomState(3))
+    weighted = streamed_refit_core(Xs, topics, sample_weight=w,
+                                   block_docs=24, n_iter=15,
+                                   n_iter_per_test=5, tolerance=0.0,
+                                   random_state=np.random.RandomState(3))
+    np.testing.assert_array_equal(base, weighted)
+
+    uniform = streamed_refit_core(
+        Xs, topics, sample_weight=np.full(Xs.shape[0], 7.0, np.float32),
+        block_docs=24, n_iter=50, n_iter_per_test=5, tolerance=0.01,
+        random_state=np.random.RandomState(3))
+    plain = streamed_refit_core(Xs, topics, block_docs=24, n_iter=50,
+                                n_iter_per_test=5, tolerance=0.01,
+                                random_state=np.random.RandomState(3))
+    np.testing.assert_allclose(uniform, plain, rtol=1e-5, atol=1e-7)
+
+
+def test_streamed_transform_accepts_sample_weight(rng):
+    """Drop-in parity: StreamedPLSA.transform(X, y=None, sample_weight=None)
+    (reference streamed_plsa.py:1237) and the functional plsa_refit's
+    positional sample_weight (streamed_plsa.py:959)."""
+    import inspect
+
+    from enstop_tpu.models.streamed import StreamedPLSA
+    from enstop_tpu.streamed_plsa import plsa_refit as alias_refit
+
+    sig = inspect.signature(StreamedPLSA.transform)
+    assert list(sig.parameters)[:4] == ["self", "X", "y", "sample_weight"]
+    assert list(inspect.signature(alias_refit).parameters)[:3] == [
+        "X", "topics", "sample_weight"]
+
+    X = make_corpus(rng, n_docs=40, n_words=30, seed=9)
+    Xs = sp.csr_matrix(X)
+    model = StreamedPLSA(n_components=3, n_iter=10, block_size=16,
+                         random_state=0).fit(Xs)
+    emb = model.transform(Xs, sample_weight=np.ones(Xs.shape[0]))
+    assert emb.shape == (Xs.shape[0], 3)
+    np.testing.assert_allclose(np.asarray(emb).sum(axis=1), 1.0, atol=1e-4)
