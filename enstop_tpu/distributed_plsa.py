@@ -4,7 +4,7 @@ from .models.mesh import DistributedPLSA
 
 
 def plsa_fit(
-    data,
+    X,
     k,
     n_row_blocks=8,
     n_col_blocks=8,
@@ -26,7 +26,7 @@ def plsa_fit(
         n_iter_per_test=n_iter_per_test, tolerance=tolerance,
         random_state=random_state,
     )
-    embedding = model.fit_transform(data)
+    embedding = model.fit_transform(X)
     return embedding, model.components_
 
 

@@ -24,6 +24,12 @@ def validate_corpus(X, sample_weight=None):
     if not issparse(X):
         X = csr_matrix(X)
     sample_weight = _check_sample_weight(sample_weight, X, dtype=np.float32)
+    if sample_weight.size and not np.any(sample_weight > 0):
+        # all-zero weights make the weighted P(w|z) M-step numerator
+        # identically zero — the model is undefined.  The reference silently
+        # produces NaNs here; raising is the sklearn-contract behavior.
+        raise ValueError("All sample weights are zero: the weighted pLSA "
+                         "M-step is undefined.")
     if np.any(X.data < 0):
         # the reference's message (plsa.py:1148) + sklearn's canonical
         # "Negative values in data" phrasing so generic tooling matches it
@@ -63,8 +69,11 @@ class TopicModelBase(TransformerMixin, BaseEstimator):
     (plsa.py:1000); modern sklearn requires the mixin first for its tag
     system — behavior is identical (``fit_transform`` is overridden)."""
 
-    def fit(self, X, y=None, **fit_params):
-        self.fit_transform(X, **fit_params)
+    def fit(self, X, y=None, sample_weight=None, **fit_params):
+        # explicit sample_weight so the reference's positional calling
+        # convention works too (e.g. plsa.py:1141 `def fit(self, X, y=None,
+        # sample_weight=None)`)
+        self.fit_transform(X, sample_weight=sample_weight, **fit_params)
         return self
 
     def __sklearn_tags__(self):

@@ -24,12 +24,20 @@ __all__ = [
     "plsa_fit",
     "plsa_refit",
     "plsa_init",
+    "norm",
     "plsa_e_step",
     "plsa_m_step",
     "plsa_m_step_w_sample_weight",
     "log_likelihood",
     "plsa_refit_m_step",
+    "plsa_fit_inner",
+    "plsa_refit_inner",
 ]
+
+
+def norm(x):
+    """l2-norm of a vector (reference plsa.py:390-412)."""
+    return float(np.linalg.norm(x))
 
 
 def plsa_e_step(
@@ -142,3 +150,110 @@ def plsa_refit_m_step(
     p_z_given_d[:] = np.asarray(pzd).astype(p_z_given_d.dtype, copy=False)
     _fill_norms(X_rows, X_vals, p_z_given_wd, None, None, norm_pdz)
     return p_w_given_z, p_z_given_d
+
+
+def plsa_fit_inner(
+    X_rows,
+    X_cols,
+    X_vals,
+    p_w_given_z,
+    p_z_given_d,
+    sample_weight,
+    n_iter=100,
+    n_iter_per_test=10,
+    tolerance=0.001,
+    e_step_thresh=1e-32,
+    use_sample_weights=False,
+):
+    """EM loop from caller-supplied factors, reference schedule exactly
+    (plsa.py:517-640): test at ``i % n_iter_per_test == 0`` against the
+    pre-loop log-likelihood; returns ``(p_z_given_d, p_w_given_z)``.
+
+    Compatibility shim over the COO kernels above — useful for warm starts
+    against the reference's functional API; production fits go through the
+    compiled while-loop programs in ``ops/fit.py``.
+    """
+    k = p_z_given_d.shape[1]
+    n = p_z_given_d.shape[0]
+    p_z_given_wd = np.zeros((np.asarray(X_vals).shape[0], k), dtype=np.float32)
+    norm_pwz = np.zeros(k, dtype=np.float32)
+    norm_pdz = np.zeros(n, dtype=np.float32)
+
+    previous_log_likelihood = log_likelihood(
+        X_rows, X_cols, X_vals, p_w_given_z, p_z_given_d, sample_weight
+    )
+
+    for i in range(n_iter):
+        plsa_e_step(
+            X_rows, X_cols, X_vals, p_w_given_z, p_z_given_d, p_z_given_wd,
+            e_step_thresh,
+        )
+        if use_sample_weights:
+            plsa_m_step_w_sample_weight(
+                X_rows, X_cols, X_vals, p_w_given_z, p_z_given_d, p_z_given_wd,
+                sample_weight, norm_pwz, norm_pdz,
+            )
+        else:
+            plsa_m_step(
+                X_rows, X_cols, X_vals, p_w_given_z, p_z_given_d, p_z_given_wd,
+                norm_pwz, norm_pdz,
+            )
+        if i % n_iter_per_test == 0:
+            current_log_likelihood = log_likelihood(
+                X_rows, X_cols, X_vals, p_w_given_z, p_z_given_d, sample_weight
+            )
+            change = np.abs(current_log_likelihood - previous_log_likelihood)
+            if change == 0 or change / np.abs(current_log_likelihood) < tolerance:
+                break
+            previous_log_likelihood = current_log_likelihood
+
+    return p_z_given_d, p_w_given_z
+
+
+def plsa_refit_inner(
+    X_rows,
+    X_cols,
+    X_vals,
+    topics,
+    p_z_given_d,
+    sample_weight,
+    n_iter=50,
+    n_iter_per_test=10,
+    tolerance=0.005,
+    e_step_thresh=1e-32,
+):
+    """Frozen-topic EM loop from caller-supplied ``p_z_given_d``, reference
+    schedule exactly (plsa.py:820-921) INCLUDING the reference's dead
+    convergence gate (``current_log_likelihood > 0`` never holds, plsa.py:913,
+    so all ``n_iter`` iterations always run — preserved verbatim because this
+    is the compatibility surface; the production refit in ``ops/driver.py``
+    fixes the gate).  Returns ``p_z_given_d``.
+    """
+    k = topics.shape[0]
+    p_z_given_wd = np.zeros((np.asarray(X_rows).shape[0], k), dtype=np.float32)
+    norm_pdz = np.zeros(p_z_given_d.shape[0], dtype=np.float32)
+
+    previous_log_likelihood = log_likelihood(
+        X_rows, X_cols, X_vals, topics, p_z_given_d, sample_weight
+    )
+
+    for i in range(n_iter):
+        plsa_e_step(
+            X_rows, X_cols, X_vals, topics, p_z_given_d, p_z_given_wd,
+            e_step_thresh,
+        )
+        plsa_refit_m_step(
+            X_rows, X_cols, X_vals, topics, p_z_given_d, p_z_given_wd,
+            sample_weight, norm_pdz,
+        )
+        if i % n_iter_per_test == 0:
+            current_log_likelihood = log_likelihood(
+                X_rows, X_cols, X_vals, topics, p_z_given_d, sample_weight
+            )
+            if current_log_likelihood > 0:
+                change = np.abs(current_log_likelihood - previous_log_likelihood)
+                if change / np.abs(current_log_likelihood) < tolerance:
+                    break
+                previous_log_likelihood = current_log_likelihood
+
+    return p_z_given_d

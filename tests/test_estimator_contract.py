@@ -85,10 +85,22 @@ def test_sklearn_estimator_checks_plsa():
     from enstop_tpu import PLSA
 
     est = PLSA(n_components=3, n_iter=5, random_state=0)
+    # weight-vs-repetition equivalence does not hold for pLSA by design:
+    # the reference applies sample_weight only to the P(w|z) M-step
+    # (plsa.py:232-305), not to the per-document P(z|d) updates, and
+    # transform is a stochastic frozen-topic refit — repeating a row is
+    # not the same model as weighting it.
+    expected_failures = {
+        "check_sample_weight_equivalence_on_dense_data":
+            "reference pLSA weight semantics are not repetition-equivalent",
+        "check_sample_weight_equivalence_on_sparse_data":
+            "reference pLSA weight semantics are not repetition-equivalent",
+    }
     failed = []
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        for estimator, check in estimator_checks_generator(est):
+        for estimator, check in estimator_checks_generator(
+                est, expected_failed_checks=expected_failures, mark="skip"):
             name = (getattr(check, "func", check).__name__
                     if hasattr(check, "func") else str(check))
             try:
@@ -132,3 +144,17 @@ def test_transform_checks_feature_count(cls_kw):
     assert m.n_features_in_ == 12
     with pytest.raises(ValueError, match="features"):
         m.transform(X[:, :8])
+
+
+@pytest.mark.parametrize("cls", ALL_CLASSES[:5], ids=lambda c: c.__name__)
+def test_fit_positional_sample_weight(cls, X):
+    """The reference's `fit(self, X, y=None, sample_weight=None)` positional
+    convention (plsa.py:1141) must work on every pLSA estimator."""
+    w = np.ones(X.shape[0])
+    model = cls(**_fast_params(cls)).fit(X, None, w)
+    assert model.components_.shape[0] == 3
+
+
+def test_all_zero_sample_weights_raise(X):
+    with pytest.raises(ValueError, match="weights"):
+        PLSA(n_components=3, n_iter=5).fit(X, sample_weight=np.zeros(X.shape[0]))

@@ -135,3 +135,68 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, rel=1e-4)
+
+
+def test_fit_inner_shim_matches_oracle():
+    """plsa_fit_inner runs the reference's exact loop (plsa.py:517-640) from
+    caller-supplied factors — trajectory parity vs the numpy oracle."""
+    import oracle
+    from enstop_tpu.plsa import plsa_fit_inner
+
+    rng = np.random.RandomState(11)
+    n, m, k = 40, 30, 4
+    X = rng.poisson(0.9, (n, m)).astype(np.float32)
+    rows, cols, vals = oracle.to_coo(X)
+    pzd = rng.rand(n, k).astype(np.float32)
+    pzd /= pzd.sum(axis=1, keepdims=True)
+    pwz = rng.rand(k, m).astype(np.float32)
+    pwz /= pwz.sum(axis=1, keepdims=True)
+    w = np.ones(n, np.float32)
+
+    got_pzd, got_pwz = plsa_fit_inner(
+        rows, cols, vals, pwz.copy(), pzd.copy(), w,
+        n_iter=12, n_iter_per_test=5, tolerance=1e-9)
+    want_pzd, want_pwz, _, _ = oracle.fit(
+        rows, cols, vals, pzd, pwz, n, m,
+        n_iter=12, n_iter_per_test=5, tolerance=1e-9)
+    np.testing.assert_allclose(got_pzd, want_pzd, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got_pwz, want_pwz, rtol=1e-3, atol=1e-5)
+
+
+def test_refit_inner_shim_preserves_dead_gate():
+    """plsa_refit_inner preserves the reference's literal behavior: the
+    convergence gate (plsa.py:913) requires a positive log-likelihood, which
+    never holds, so exactly n_iter iterations always run and the result on a
+    tight tolerance equals the result with tolerance=0."""
+    import oracle
+    from enstop_tpu.plsa import plsa_refit_inner
+
+    rng = np.random.RandomState(12)
+    n, m, k = 30, 25, 3
+    X = rng.poisson(1.1, (n, m)).astype(np.float32)
+    rows, cols, vals = oracle.to_coo(X)
+    topics = rng.rand(k, m).astype(np.float32)
+    topics /= topics.sum(axis=1, keepdims=True)
+    z0 = rng.rand(n, k).astype(np.float32)
+    z0 /= z0.sum(axis=1, keepdims=True)
+    w = np.ones(n, np.float32)
+
+    loose = plsa_refit_inner(rows, cols, vals, topics, z0.copy(), w,
+                             n_iter=8, n_iter_per_test=2, tolerance=1e6)
+    exact = plsa_refit_inner(rows, cols, vals, topics, z0.copy(), w,
+                             n_iter=8, n_iter_per_test=2, tolerance=0.0)
+    np.testing.assert_array_equal(loose, exact)
+
+    # and it really is the frozen-topic EM: one step matches the oracle
+    one = plsa_refit_inner(rows, cols, vals, topics, z0.copy(), w, n_iter=1)
+    resp = oracle.e_step(rows, cols, vals, topics.astype(np.float64),
+                         z0.astype(np.float64))
+    want = oracle.refit_m_step(rows, cols, vals, resp, n)
+    np.testing.assert_allclose(one, want, rtol=1e-4, atol=1e-6)
+
+
+def test_norm_shim():
+    from enstop_tpu.plsa import norm
+
+    v = np.array([3.0, 4.0])
+    assert norm(v) == 5.0
