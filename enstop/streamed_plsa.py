@@ -1,0 +1,4 @@
+"""Alias of :mod:`enstop_tpu.streamed_plsa` at the reference import path."""
+
+from enstop_tpu.streamed_plsa import *  # noqa: F401,F403
+from enstop_tpu.streamed_plsa import __all__  # noqa: F401

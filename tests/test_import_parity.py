@@ -200,3 +200,28 @@ def test_norm_shim():
 
     v = np.array([3.0, 4.0])
     assert norm(v) == 5.0
+
+
+def test_enstop_namespace_alias():
+    """`import enstop` is a literal drop-in: the reference's package
+    __init__ surface (enstop/__init__.py:1-7) and its submodule paths all
+    resolve to the TPU implementations."""
+    import enstop
+    import enstop_tpu
+
+    for name in ("PLSA", "StreamedPLSA", "BlockParallelPLSA",
+                 "DistributedPLSA", "GPUPLSA", "EnsembleTopics",
+                 "log_lift", "mean_log_lift", "coherence", "mean_coherence"):
+        assert getattr(enstop, name) is not None, name
+
+    from enstop.plsa import PLSA as P1
+    assert P1 is enstop_tpu.PLSA
+    from enstop.enstop_ import EnsembleTopics as E1
+    assert E1 is enstop_tpu.EnsembleTopics
+    from enstop.plsa import plsa_e_step, plsa_fit_inner, norm  # noqa: F401
+    from enstop.streamed_plsa import plsa_refit  # noqa: F401
+    from enstop.cuda_plsa import GPUPLSA as G1
+    from enstop.block_parallel_plsa import BlockParallelPLSA as B1
+    from enstop.distributed_plsa import DistributedPLSA as D1
+    assert G1 is enstop.GPUPLSA and B1 is enstop.BlockParallelPLSA
+    assert D1 is enstop.DistributedPLSA
