@@ -212,15 +212,6 @@ class AotCached:
             from jax.experimental.serialize_executable import serialize
 
             ser, in_tree, out_tree = serialize(compiled)
-            dev_ids = [
-                d.id
-                for d in compiled._executable.xla_executable.local_devices()
-            ]
-            with _LOCK:
-                fd, tmp = tempfile.mkstemp(dir=str(cache_dir()), suffix=".tmp")
-                with os.fdopen(fd, "wb") as fh:
-                    pickle.dump((ser, in_tree, out_tree, dev_ids), fh)
-                os.replace(tmp, path)
         except Exception as e:
             # the runtime does not implement SerializeExecutable (or the
             # program is not serializable): record it and stop re-trying
@@ -232,6 +223,25 @@ class AotCached:
                 _marker_path(_backend_tag()).touch()
             except Exception:
                 pass
+            return compiled
+        try:
+            # private jax internals — a rename here must NOT be mistaken for
+            # "serialize unsupported" (the permanent marker above); it only
+            # means this entry cannot be written
+            dev_ids = [
+                d.id
+                for d in compiled._executable.xla_executable.local_devices()
+            ]
+            with _LOCK:
+                fd, tmp = tempfile.mkstemp(dir=str(cache_dir()), suffix=".tmp")
+                with os.fdopen(fd, "wb") as fh:
+                    pickle.dump((ser, in_tree, out_tree, dev_ids), fh)
+                os.replace(tmp, path)
+        except Exception as e:
+            warnings.warn(
+                f"aot_cache: could not write cache entry {name} "
+                f"({type(e).__name__}: {str(e)[:120]}); continuing uncached"
+            )
         return compiled
 
 

@@ -23,16 +23,19 @@ class TPUPLSA(PLSA):
         self,
         n_components=10,
         init="random",
+        n_row_blocks=8,
+        n_col_blocks=8,
         n_iter=100,
         n_iter_per_test=10,
         tolerance=0.001,
         e_step_thresh=1e-32,
-        n_row_blocks=8,
-        n_col_blocks=8,
         transform_random_seed=42,
         random_state=None,
         backend="pallas",
     ):
+        # parameter ORDER matches the reference exactly (cuda_plsa.py:357-368)
+        # so positional construction like GPUPLSA(10, "random", 4, 4) binds
+        # the tile grid, not n_iter.
         super().__init__(
             n_components=n_components,
             init=init,

@@ -768,6 +768,15 @@ class EnsembleTopics(TopicModelBase):
         from ..ops.driver import PreparedCounts
         from ..ops.sell import PreparedSell
 
+        if fit_params.pop("sample_weight", None) is not None:
+            # the reference's EnsembleTopics.fit takes no sample_weight
+            # (enstop_.py:753) and errors loudly; silently dropping weights
+            # would return an unweighted fit the caller believes is weighted
+            raise TypeError(
+                "EnsembleTopics does not support sample_weight (the "
+                "reference's ensemble has no weighted path); weight the "
+                "individual PLSA fits instead"
+            )
         if not isinstance(X, (PreparedCounts, PreparedSell)):
             X = check_array(X, accept_sparse="csr")
             if not issparse(X):

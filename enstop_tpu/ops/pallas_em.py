@@ -267,6 +267,12 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
         # trace time: set it before the first fit of the process.
         from .pallas_em_variants import em_accumulators_variant
 
+        if variant == "jo" and _interpret():
+            # the aliased jo layout is device-only (interpret mode stale-reads
+            # revisited aliased blocks — see below); jo_resident is the same
+            # grid order with an alias-free B, bit-identical results.  This
+            # keeps a CPU re-exec of an ENSTOP_EM_KERNEL=jo bench correct.
+            variant = "jo_resident"
         return em_accumulators_variant(
             X, p_z_given_d, p_w_given_z, sample_weight=sample_weight,
             variant=variant, bd=bd, bw=bw, compute_ll=compute_ll,

@@ -287,6 +287,18 @@ def _fused_em_call_variant(X, zd, wz, w, variant, bd, bw, compute_ll=True,
     cost = _cost(n, m, kp, transcendentals=n * m if compute_ll else 0)
 
     if variant == "jo":
+        if _interpret() and n > bd and m > bw:
+            # Pallas interpret mode mishandles input_output_aliases on blocks
+            # revisited non-consecutively: with j outer, each aliased B block
+            # (i, 0) is revisited once per column strip, so any grid with
+            # multiple row AND column blocks silently stale-reads off-TPU
+            # (same hazard pallas_batch.py guards; ops/pallas_em.py routes
+            # its interpret path through the alias-free jo_resident layout).
+            raise NotImplementedError(
+                "the aliased 'jo' variant is device-only on multi-block "
+                f"grids (n={n} > bd={bd} and m={m} > bw={bw}); use "
+                "'jo_resident' off-TPU"
+            )
         b_zero = jnp.zeros((n, kp), jnp.float32)
         a_acc, b_acc, ll = pl.pallas_call(
             _make_em_kernel_jo(compute_ll, precision),

@@ -244,3 +244,16 @@ def test_ensemble_of_topics_returns_writable_numpy(corpus):
     assert isinstance(topics, np.ndarray)
     topics[0] = 0.0  # must be writable, like the reference's vstack output
     topics += 1.0
+
+
+def test_ensemble_rejects_sample_weight():
+    """The reference's EnsembleTopics.fit has no sample_weight (enstop_.py:753)
+    and errors loudly; silently dropping weights would return an unweighted
+    fit the caller believes is weighted."""
+    import pytest
+
+    X = sp.csr_matrix(
+        np.random.RandomState(0).poisson(1.0, (30, 20)).astype(np.int64))
+    with pytest.raises(TypeError, match="sample_weight"):
+        EnsembleTopics(n_components=2, n_starts=2, n_iter=5).fit(
+            X, sample_weight=np.ones(30))

@@ -186,3 +186,39 @@ def test_fused_multiblock_em_trajectory_matches_oracle():
 
     np.testing.assert_allclose(np.asarray(zd_j), zd_o, rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(wz_j), wz_o, rtol=5e-4, atol=1e-5)
+
+
+def test_jo_variant_interpret_guard():
+    """The aliased 'jo' layout is device-only on multi-block grids: interpret
+    mode stale-reads revisited aliased blocks, so off-TPU it must refuse
+    rather than silently corrupt B (the production router falls back to
+    jo_resident instead)."""
+    import pytest
+
+    from enstop_tpu.ops.pallas_em_variants import em_accumulators_variant
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.poisson(1.0, (48, 512)).astype(np.float32))
+    zd = jnp.asarray(rng.rand(48, 8).astype(np.float32))
+    wz = jnp.asarray(rng.rand(8, 512).astype(np.float32))
+    with pytest.raises(NotImplementedError, match="device-only"):
+        em_accumulators_variant(X, zd, wz, variant="jo", bd=16, bw=256)
+
+
+def test_env_jo_routes_to_resident_off_tpu(monkeypatch):
+    """ENSTOP_EM_KERNEL=jo through the production entry point must produce
+    the alias-free jo_resident result off-TPU (bit-identical math), keeping
+    a CPU re-exec of a jo bench correct."""
+    from enstop_tpu.ops import pallas_em
+
+    rng = np.random.RandomState(1)
+    X = jnp.asarray(rng.poisson(1.0, (48, 512)).astype(np.float32))
+    zd = jnp.asarray(rng.rand(48, 8).astype(np.float32))
+    wz = jnp.asarray(rng.rand(8, 512).astype(np.float32))
+
+    base = pallas_em.em_accumulators_fused(X, zd, wz, bd=16, bw=256)
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "jo")
+    routed = pallas_em.em_accumulators_fused(X, zd, wz, bd=16, bw=256)
+    for got, want in zip(routed, base):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-8)

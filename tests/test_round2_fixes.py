@@ -129,3 +129,16 @@ def test_ensemble_nmf_alpha_applied(rng):
     t_cd0 = nmf_topics(X, 3, bootstrap=False, random_state=0, solver="cd", alpha=0.0)
     t_cd1 = nmf_topics(X, 3, bootstrap=False, random_state=0, solver="cd", alpha=10.0)
     assert not np.allclose(t_cd0, t_cd1)
+
+
+def test_gpuplsa_positional_constructor_order():
+    """Reference positional construction (cuda_plsa.py:357-368):
+    GPUPLSA(n_components, init, n_row_blocks, n_col_blocks, n_iter, ...) —
+    the tile grid must bind positionally, NOT n_iter."""
+    from enstop_tpu.models.accelerated import GPUPLSA
+
+    m = GPUPLSA(10, "random", 4, 4)
+    assert m.n_row_blocks == 4 and m.n_col_blocks == 4
+    assert m.n_iter == 100 and m.n_iter_per_test == 10
+    m2 = GPUPLSA(10, "random", 8, 8, 200)
+    assert m2.n_iter == 200 and m2.tolerance == 0.001
