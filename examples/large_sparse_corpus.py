@@ -21,6 +21,10 @@ import numpy as np
 import scipy.sparse as sp
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "examples")
+from _common import ensure_responsive_backend
+
+ensure_responsive_backend()
 
 
 def make_corpus(n_docs, n_words, nnz, seed=0):

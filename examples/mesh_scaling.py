@@ -17,6 +17,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "examples")
+from _common import ensure_responsive_backend
+
+ensure_responsive_backend()
 
 import jax
 

@@ -18,6 +18,10 @@ import numpy as np
 from sklearn.metrics import adjusted_mutual_info_score, adjusted_rand_score
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "examples")
+from _common import ensure_responsive_backend
+
+ensure_responsive_backend()
 
 
 def load_corpus(small=False):
