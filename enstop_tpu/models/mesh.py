@@ -277,6 +277,7 @@ class DistributedPLSA(BlockParallelPLSA):
             n_iter=self.n_iter,
             n_iter_per_test=self.n_iter_per_test,
             tolerance=self.tolerance,
+            e_step_thresh=self.e_step_thresh,
             random_state=self.random_state,
         )
         if zero_rows_found:
@@ -307,6 +308,7 @@ class DistributedPLSA(BlockParallelPLSA):
             X,
             self.components_,
             mesh=make_docs_mesh(),
+            e_step_thresh=self.e_step_thresh,
             random_state=check_random_state(self.transform_random_seed),
         )
 

@@ -158,11 +158,14 @@ def _auto_lane(nnz, n_rows):
     return lane
 
 
-def pack_sell(X, lane=None, build_tables=False):
+def pack_sell(X, lane=None, build_tables=False, lane_words=None):
     """Pack a scipy sparse matrix into dual-sorted SELL arrays (host-side).
 
     ``lane=None`` picks each side's segment width from its average row
-    occupancy (docs/words per row differ by orders of magnitude).
+    occupancy (docs/words per row differ by orders of magnitude).  ``lane``
+    forces the doc side (and the word side too unless ``lane_words`` is
+    given) — sharded packers use the pair to unify lane widths across shards
+    without collapsing the two sides to one max.
     ``build_tables`` adds the gather-form segment tables (only needed for
     ``segsum="gather"``; see :func:`_pack_one_side` for the size caveat)."""
     from scipy.sparse import issparse, csr_matrix
@@ -174,7 +177,7 @@ def pack_sell(X, lane=None, build_tables=False):
     n, m = Xcsr.shape
 
     lane_docs = lane or _auto_lane(Xcsr.nnz, n)
-    lane_words = lane or _auto_lane(Xcsr.nnz, m)
+    lane_words = lane_words or lane or _auto_lane(Xcsr.nnz, m)
     row_doc, cols_a, vals_a, doc_segs = _pack_one_side(
         Xcsr.indptr, Xcsr.indices, Xcsr.data, n, lane_docs, build_tables
     )

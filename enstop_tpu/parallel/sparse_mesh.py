@@ -77,14 +77,16 @@ def shard_sell(mesh, X, lane=None):
         sides.append(s)
         lanes_docs.append(s.cols_a.shape[1])
         lanes_words.append(s.rows_b.shape[1])
-    # uniform lane widths across shards (auto-lane may differ per shard)
+    # uniform lane widths across shards (auto-lane may differ per shard) —
+    # PER SIDE: doc and word occupancies differ by orders of magnitude, so
+    # collapsing both sides to one max lane would inflate the narrow side's
+    # padded gather/einsum work up to ~8x
     if len(set(lanes_docs)) > 1 or len(set(lanes_words)) > 1:
         lane_d, lane_w = max(lanes_docs), max(lanes_words)
         sides = []
         for d in range(n_dev):
             lo, hi = int(bounds[d]), int(bounds[d + 1])
-            # pack both sides at the common maximum width
-            s = sell_ops.pack_sell(Xcsr[lo:hi], lane=max(lane_d, lane_w))
+            s = sell_ops.pack_sell(Xcsr[lo:hi], lane=lane_d, lane_words=lane_w)
             sides.append(s)
 
     names = ["row_doc", "cols_a", "vals_a", "col_word", "rows_b", "vals_b"]
@@ -99,31 +101,35 @@ def shard_sell(mesh, X, lane=None):
 
 
 @lru_cache(maxsize=32)
-def _sparse_fit_program(mesh, local_docs, m, refit):
-    """The cached jitted sparse-fit program for a (mesh, local_docs, m, refit)
-    layout.  Iteration counts/tolerance enter as traced arguments, so one
-    remote compile covers every fit/refit on that layout (remote compiles cost
-    30s+ here)."""
+def _sparse_fit_program(mesh, local_docs, m, refit, thresh):
+    """The cached jitted sparse-fit program for a (mesh, local_docs, m, refit,
+    thresh) layout.  Iteration counts/tolerance enter as traced arguments, so
+    one remote compile covers every fit/refit on that layout (remote compiles
+    cost 30s+ here).  ``thresh``: None for the fast r-form, or a materially-
+    firing ``e_step_thresh`` applied with the reference's exact semantics
+    (same forms as :func:`ops.sell.em_step_sell` — with thresholding the
+    pass contribs already include the old factor, so the M-step numerators
+    are the raw accumulators)."""
 
     def local_em(dev, zd_l, wz, w_l):
         # doc pass: local docs only; word pass: full-width partial + psum
         wzT = wz.T
         zd_rows = zd_l[dev["row_doc"]]
         contrib, s = sell_ops._pass_contrib(
-            zd_rows, dev["cols_a"], dev["vals_a"], wzT, None
+            zd_rows, dev["cols_a"], dev["vals_a"], wzT, thresh
         )
         B = sell_ops._segsum_scatter(contrib, dev["row_doc"], local_docs)
-        num_zd = zd_l * B
+        num_zd = (zd_l * B) if thresh is None else B
         new_zd = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
 
         wz_rows = wzT[dev["col_word"]]
         vals_b = dev["vals_b"] * w_l[dev["rows_b"]]
         contrib2, _ = sell_ops._pass_contrib(
-            wz_rows, dev["rows_b"], vals_b, zd_l, None
+            wz_rows, dev["rows_b"], vals_b, zd_l, thresh
         )
         A_T_local = sell_ops._segsum_scatter(contrib2, dev["col_word"], m)
         A_T = lax.psum(A_T_local, "docs")                 # the ONE collective
-        num_wz = wz * A_T.T
+        num_wz = (wz * A_T.T) if thresh is None else A_T.T
         new_wz = num_wz / jnp.maximum(num_wz.sum(axis=1, keepdims=True), _TINY)
 
         term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
@@ -134,10 +140,10 @@ def _sparse_fit_program(mesh, local_docs, m, refit):
         wzT = wz.T
         zd_rows = zd_l[dev["row_doc"]]
         contrib, s = sell_ops._pass_contrib(
-            zd_rows, dev["cols_a"], dev["vals_a"], wzT, None
+            zd_rows, dev["cols_a"], dev["vals_a"], wzT, thresh
         )
         B = sell_ops._segsum_scatter(contrib, dev["row_doc"], local_docs)
-        num_zd = zd_l * B
+        num_zd = (zd_l * B) if thresh is None else B
         new_zd = num_zd / jnp.maximum(num_zd.sum(axis=1, keepdims=True), _TINY)
         term = dev["vals_a"] * jnp.log(jnp.maximum(s, _TINY))
         ll = lax.psum((term * w_l[dev["row_doc"]][:, None]).sum(), "docs")
@@ -189,22 +195,51 @@ def _sparse_fit_program(mesh, local_docs, m, refit):
     return maybe_wrap(run, name=f"sparsemesh-{'refit' if refit else 'em'}")
 
 
+def _material_thresh(e_step_thresh):
+    """None unless the threshold can actually fire in f32 (matches the
+    single-chip SELL gating, ops/sell.py)."""
+    if e_step_thresh is not None and e_step_thresh > sell_ops.THRESH_MATERIAL:
+        return float(e_step_thresh)
+    return None
+
+
 def build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test, local_docs, m,
-                             refit=False):
+                             refit=False, e_step_thresh=None):
     """Compiled sparse fit over the docs mesh.
 
     ``local_docs``: documents per shard (the padded uniform shard height for
     the doc-sharded ``P(z|d)``); ``m``: vocabulary size.
     Call with doc-sharded ``zd (n_dev*local_docs, k)``, replicated ``wz`` and
-    doc-sharded weights ``w``.
+    doc-sharded weights ``w``.  ``e_step_thresh`` is honored exactly when
+    material, like the single-chip sparse backend.
     """
-    run = _sparse_fit_program(mesh, int(local_docs), int(m), bool(refit))
+    run = _sparse_fit_program(mesh, int(local_docs), int(m), bool(refit),
+                              _material_thresh(e_step_thresh))
 
     def runner(dev, zd, wz, w, tolerance):
         return run(dev, zd, wz, w, jnp.float32(tolerance),
                    jnp.int32(n_iter), jnp.int32(n_iter_per_test))
 
     return runner
+
+
+def _scatter_doc_sharded(rows, bounds, n_dev, local_docs):
+    """Lay global per-doc rows into the padded doc-sharded layout: shard d's
+    docs occupy rows [d*local_docs, d*local_docs + shard_height)."""
+    out = np.zeros((n_dev * local_docs,) + rows.shape[1:], np.float32)
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        out[d * local_docs: d * local_docs + (hi - lo)] = rows[lo:hi]
+    return out
+
+
+def _gather_doc_sharded(sharded, bounds, n_dev, local_docs, n, k):
+    """Inverse of :func:`_scatter_doc_sharded` (drops the shard padding)."""
+    out = np.zeros((n, k), np.float32)
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        out[lo:hi] = sharded[d * local_docs: d * local_docs + (hi - lo), :k]
+    return out
 
 
 def sparse_mesh_fit(
@@ -216,6 +251,7 @@ def sparse_mesh_fit(
     n_iter=100,
     n_iter_per_test=10,
     tolerance=0.001,
+    e_step_thresh=None,
     random_state=None,
 ):
     """Fit pLSA with the corpus sharded by nonzeros over a docs mesh.
@@ -236,19 +272,15 @@ def sparse_mesh_fit(
     pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
     kp = max(k, 1)
 
-    # doc-sharded zd layout: shard d's docs at rows [d*local_docs, ...)
-    zd = np.zeros((n_dev * local_docs, kp), np.float32)
-    w = np.zeros((n_dev * local_docs,), np.float32)
     weighted = sample_weight is not None and bool(
         np.any(np.asarray(sample_weight) != 1.0)
     )
     w_src = (np.asarray(sample_weight, np.float32) if weighted
              else np.ones(n, np.float32))
     bounds = np.concatenate([doc_starts, [n]])
-    for d in range(n_dev):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        zd[d * local_docs: d * local_docs + (hi - lo)] = pzd0[lo:hi]
-        w[d * local_docs: d * local_docs + (hi - lo)] = w_src[lo:hi]
+    zd = _scatter_doc_sharded(pzd0.astype(np.float32)[:, :kp], bounds, n_dev,
+                              local_docs)
+    w = _scatter_doc_sharded(w_src, bounds, n_dev, local_docs)
 
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     zd_s = put(zd, P("docs", None))
@@ -256,15 +288,12 @@ def sparse_mesh_fit(
     w_s = put(w, P("docs"))
 
     run = build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test,
-                                   local_docs, m)
+                                   local_docs, m,
+                                   e_step_thresh=e_step_thresh)
     zd_f, wz_f, steps, final_ll, trace, n_tests = run(
         dev, zd_s, wz_s, w_s, tolerance
     )
-    zd_f = np.asarray(zd_f)
-    out = np.zeros((n, k), np.float32)
-    for d in range(n_dev):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        out[lo:hi] = zd_f[d * local_docs: d * local_docs + (hi - lo), :k]
+    out = _gather_doc_sharded(np.asarray(zd_f), bounds, n_dev, local_docs, n, k)
     return (out, np.asarray(wz_f)[:k, :m], int(steps),
             np.asarray(trace)[: int(n_tests)])
 
@@ -276,6 +305,7 @@ def sparse_mesh_refit(
     n_iter=50,
     n_iter_per_test=10,
     tolerance=0.005,
+    e_step_thresh=None,
     random_state=None,
 ):
     """Frozen-topics refit with the corpus sharded by nonzeros over the mesh
@@ -292,13 +322,9 @@ def sparse_mesh_refit(
 
     zd0 = rng.rand(n, k).astype(np.float32)
     zd0 /= zd0.sum(axis=1, keepdims=True)
-    zd = np.zeros((n_dev * local_docs, k), np.float32)
-    w = np.zeros((n_dev * local_docs,), np.float32)
     bounds = np.concatenate([doc_starts, [n]])
-    for d in range(n_dev):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        zd[d * local_docs: d * local_docs + (hi - lo)] = zd0[lo:hi]
-        w[d * local_docs: d * local_docs + (hi - lo)] = 1.0
+    zd = _scatter_doc_sharded(zd0, bounds, n_dev, local_docs)
+    w = _scatter_doc_sharded(np.ones(n, np.float32), bounds, n_dev, local_docs)
 
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
     zd_s = put(zd, P("docs", None))
@@ -306,10 +332,7 @@ def sparse_mesh_refit(
     w_s = put(w, P("docs"))
 
     run = build_sharded_sparse_fit(mesh, n_iter, n_iter_per_test,
-                                   local_docs, m, refit=True)
+                                   local_docs, m, refit=True,
+                                   e_step_thresh=e_step_thresh)
     zd_f = np.asarray(run(dev, zd_s, wz_s, w_s, tolerance)[0])
-    out = np.zeros((n, k), np.float32)
-    for d in range(n_dev):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        out[lo:hi] = zd_f[d * local_docs: d * local_docs + (hi - lo), :k]
-    return out
+    return _gather_doc_sharded(zd_f, bounds, n_dev, local_docs, n, k)

@@ -40,8 +40,11 @@ def test_sharded_program_builders_are_cached():
 
 def test_sparse_and_streamed_program_builders_are_cached():
     dm = sparse_mod.make_docs_mesh(4)
-    assert sparse_mod._sparse_fit_program(dm, 16, 32, False) is (
-        sparse_mod._sparse_fit_program(dm, 16, 32, False)
+    assert sparse_mod._sparse_fit_program(dm, 16, 32, False, None) is (
+        sparse_mod._sparse_fit_program(dm, 16, 32, False, None)
+    )
+    assert sparse_mod._sparse_fit_program(dm, 16, 32, False, 1e-3) is not (
+        sparse_mod._sparse_fit_program(dm, 16, 32, False, None)
     )
     assert streamed_core._block_step_fns(False, None) is (
         streamed_core._block_step_fns(False, None)

@@ -74,6 +74,82 @@ def test_distributed_plsa_sparse_layout():
     np.testing.assert_allclose(m.components_, md.components_, rtol=5e-3, atol=1e-5)
 
 
+def test_sparse_mesh_thresh_matches_single_chip():
+    """A materially-firing e_step_thresh runs the exact masked form on the
+    mesh and reproduces the single-chip sparse fit's trajectory."""
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=83,
+                                  n_docs=90, n_words=115))
+    mesh = make_docs_mesh(4)
+    zd_m, wz_m, steps_m, trace_m = sparse_mesh_fit(
+        X, 4, mesh=mesh, n_iter=18, n_iter_per_test=6, tolerance=0.005,
+        e_step_thresh=1e-3, random_state=11,
+    )
+    zd_f, wz_f, info = plsa_fit(
+        X, 4, backend="sparse", n_iter=18, n_iter_per_test=6, tolerance=0.005,
+        e_step_thresh=1e-3, random_state=11, return_info=True,
+    )
+    assert steps_m == info["n_steps"]
+    np.testing.assert_allclose(trace_m, info["ll_trace"], rtol=1e-4)
+    np.testing.assert_allclose(wz_m, wz_f, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(zd_m, zd_f, rtol=5e-3, atol=1e-5)
+    # and the thresholded fit genuinely differs from the unthresholded one
+    _, wz_u, _, _ = sparse_mesh_fit(
+        X, 4, mesh=mesh, n_iter=18, n_iter_per_test=6, tolerance=0.005,
+        random_state=11,
+    )
+    assert np.abs(wz_m - wz_u).max() > 1e-6
+
+
+def test_sparse_mesh_refit_thresh():
+    """Sparse-layout transform honors e_step_thresh like the flat refit."""
+    from enstop_tpu.ops.driver import plsa_refit
+    from enstop_tpu.parallel.sparse_mesh import sparse_mesh_refit
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=89,
+                                  n_docs=60, n_words=90))
+    _, wz, _, _ = sparse_mesh_fit(X, 3, mesh=make_docs_mesh(2), n_iter=10,
+                                  random_state=2)
+    t = sparse_mesh_refit(X[:15], wz, mesh=make_docs_mesh(4),
+                          e_step_thresh=1e-3, random_state=7)
+    flat = plsa_refit(X[:15], wz, backend="sparse", e_step_thresh=1e-3,
+                      random_state=7)
+    np.testing.assert_allclose(t, flat, rtol=5e-3, atol=1e-5)
+
+
+def test_shard_sell_per_side_lanes():
+    """When shards' auto lanes disagree, the repack unifies each SIDE at its
+    own maximum — the narrow side must not inflate to the wide side's lane."""
+    from enstop_tpu.ops.sell import _auto_lane, pack_sell
+    from enstop_tpu.parallel.sparse_mesh import shard_sell
+
+    rng = np.random.RandomState(17)
+    # top half dense rows, bottom half sparse rows -> doc-side auto lanes
+    # differ between the two shards; vocabulary much smaller than docs so the
+    # word side is far wider than the doc side
+    top = (rng.rand(40, 48) < 0.6).astype(np.float32)
+    bot = (rng.rand(40, 48) < 0.05).astype(np.float32)
+    bot[:, 0] = 1.0  # no empty rows
+    X = sp.csr_matrix(np.concatenate([top, bot]))
+    mesh = make_docs_mesh(2)
+    dev, starts, n, m = shard_sell(mesh, X)
+
+    lane_docs = [pack_sell(X[:40]).cols_a.shape[1],
+                 pack_sell(X[40:]).cols_a.shape[1]]
+    lane_words = [pack_sell(X[:40]).rows_b.shape[1],
+                  pack_sell(X[40:]).rows_b.shape[1]]
+    assert len(set(lane_docs)) > 1 or len(set(lane_words)) > 1  # repack fired
+    assert dev["cols_a"].shape[2] == max(lane_docs)
+    assert dev["rows_b"].shape[2] == max(lane_words)
+    # entries preserved exactly once
+    assert float(np.asarray(dev["vals_a"]).sum()) == pytest.approx(
+        float(X.sum()), rel=1e-6)
+    # and the fit still reproduces the flat trajectory on this corpus
+    zd_m, wz_m, _, _ = sparse_mesh_fit(X, 3, mesh=mesh, n_iter=10,
+                                       random_state=1)
+    zd_f, wz_f = plsa_fit(X, 3, backend="xla", n_iter=10, random_state=1)
+    np.testing.assert_allclose(wz_m, wz_f, rtol=5e-3, atol=1e-5)
+
+
 def test_sparse_mesh_transform():
     """Sparse-layout transform runs the refit sharded over the docs mesh and
     agrees with the flat refit."""
