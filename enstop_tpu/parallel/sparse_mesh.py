@@ -69,25 +69,26 @@ def shard_sell(mesh, X, lane=None):
     n_dev = mesh.shape["docs"]
     bounds = np.linspace(0, n, n_dev + 1).astype(np.int64)
 
-    sides = []
-    lanes_docs, lanes_words = [], []
-    for d in range(n_dev):
-        lo, hi = int(bounds[d]), int(bounds[d + 1])
-        s = sell_ops.pack_sell(Xcsr[lo:hi], lane=lane)
-        sides.append(s)
-        lanes_docs.append(s.cols_a.shape[1])
-        lanes_words.append(s.rows_b.shape[1])
-    # uniform lane widths across shards (auto-lane may differ per shard) —
+    # uniform lane widths across shards, decided from indptr alone BEFORE any
+    # packing (auto-lane needs only nnz/rows, so no pack-then-repack pass) —
     # PER SIDE: doc and word occupancies differ by orders of magnitude, so
     # collapsing both sides to one max lane would inflate the narrow side's
     # padded gather/einsum work up to ~8x
-    if len(set(lanes_docs)) > 1 or len(set(lanes_words)) > 1:
-        lane_d, lane_w = max(lanes_docs), max(lanes_words)
-        sides = []
+    if lane is not None:
+        lane_d = lane_w = lane
+    else:
+        lane_d = lane_w = 8
+        indptr = Xcsr.indptr
         for d in range(n_dev):
             lo, hi = int(bounds[d]), int(bounds[d + 1])
-            s = sell_ops.pack_sell(Xcsr[lo:hi], lane=lane_d, lane_words=lane_w)
-            sides.append(s)
+            nnz_s = int(indptr[hi] - indptr[lo])
+            lane_d = max(lane_d, sell_ops._auto_lane(nnz_s, hi - lo))
+            lane_w = max(lane_w, sell_ops._auto_lane(nnz_s, m))
+    sides = []
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        sides.append(sell_ops.pack_sell(Xcsr[lo:hi], lane=lane_d,
+                                        lane_words=lane_w))
 
     names = ["row_doc", "cols_a", "vals_a", "col_word", "rows_b", "vals_b"]
     maxes = {k: max(getattr(s, k).shape[0] for s in sides) for k in names}

@@ -117,7 +117,7 @@ def test_sparse_mesh_refit_thresh():
 
 
 def test_shard_sell_per_side_lanes():
-    """When shards' auto lanes disagree, the repack unifies each SIDE at its
+    """When shards' auto lanes disagree, the unified lanes take each SIDE's
     own maximum — the narrow side must not inflate to the wide side's lane."""
     from enstop_tpu.ops.sell import _auto_lane, pack_sell
     from enstop_tpu.parallel.sparse_mesh import shard_sell
@@ -137,7 +137,7 @@ def test_shard_sell_per_side_lanes():
                  pack_sell(X[40:]).cols_a.shape[1]]
     lane_words = [pack_sell(X[:40]).rows_b.shape[1],
                   pack_sell(X[40:]).rows_b.shape[1]]
-    assert len(set(lane_docs)) > 1 or len(set(lane_words)) > 1  # repack fired
+    assert len(set(lane_docs)) > 1 or len(set(lane_words)) > 1  # lanes disagree
     assert dev["cols_a"].shape[2] == max(lane_docs)
     assert dev["rows_b"].shape[2] == max(lane_words)
     # entries preserved exactly once
