@@ -224,6 +224,7 @@ class AotCached:
             except Exception:
                 pass
             return compiled
+        tmp = None
         try:
             # private jax internals — a rename here must NOT be mistaken for
             # "serialize unsupported" (the permanent marker above); it only
@@ -238,8 +239,13 @@ class AotCached:
                     pickle.dump((ser, in_tree, out_tree, dev_ids), fh)
                 os.replace(tmp, path)
         except Exception as e:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
             warnings.warn(
-                f"aot_cache: could not write cache entry {name} "
+                f"aot_cache: could not write cache entry {self.name} "
                 f"({type(e).__name__}: {str(e)[:120]}); continuing uncached"
             )
         return compiled

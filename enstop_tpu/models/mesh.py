@@ -130,6 +130,12 @@ class BlockParallelPLSA(TopicModelBase):
     ``n_row_blocks`` / ``n_col_blocks`` request the mesh shape; they are clamped
     to the devices actually available (their product must divide the device
     count after clamping).
+
+    A materially-firing ``e_step_thresh`` (> 1e-30; the default 1e-32 is not)
+    routes the fit to the nonzeros-sharded docs-mesh program — the
+    multi-device path with the reference's exact masked E-step
+    (block_parallel_plsa.py:51-57); the dense tile kernels treat sub-material
+    thresholds as the numerical no-op they are.
     """
 
     def __init__(
@@ -173,7 +179,20 @@ class BlockParallelPLSA(TopicModelBase):
             rows -= 1
         return mesh_lib.make_mesh(rows, cols, devices=devices[: rows * cols])
 
+    def _thresh_is_material(self):
+        # the dense tile kernels treat e_step_thresh as a numerical no-op
+        # (the matmul form never materializes per-topic products); a
+        # materially-firing threshold must run the nonzeros-sharded program,
+        # the one multi-device path with the reference's exact masked E-step
+        # (same routing the flat driver does, ops/driver.py)
+        from ..ops.sell import THRESH_MATERIAL
+
+        return (self.e_step_thresh is not None
+                and self.e_step_thresh > THRESH_MATERIAL)
+
     def fit_transform(self, X, y=None, sample_weight=None):
+        if self._thresh_is_material():
+            return self._fit_transform_sparse(X, sample_weight)
         X, sample_weight = validate_corpus(X, sample_weight)
         data, good_rows, zero_rows_found = split_zero_rows(X)
         mesh = self._make_mesh()
@@ -200,7 +219,43 @@ class BlockParallelPLSA(TopicModelBase):
         self.fit_info_ = info
         return self.embedding_
 
+    def _fit_transform_sparse(self, X, sample_weight):
+        """Fit via the nonzeros-sharded docs-mesh program (exact
+        ``e_step_thresh`` semantics; per-chip HBM is O(local nnz))."""
+        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
+
+        X, sample_weight = validate_corpus(X, sample_weight)
+        data, good_rows, zero_rows_found = split_zero_rows(X)
+        U, V, n_steps, trace = sparse_mesh_fit(
+            data,
+            self.n_components,
+            mesh=make_docs_mesh(),
+            sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
+            init=self.init,
+            n_iter=self.n_iter,
+            n_iter_per_test=self.n_iter_per_test,
+            tolerance=self.tolerance,
+            e_step_thresh=self.e_step_thresh,
+            random_state=self.random_state,
+        )
+        if zero_rows_found:
+            self.embedding_ = reinsert_zero_rows(U, good_rows, X.shape[0], self.n_components)
+        else:
+            self.embedding_ = U
+        self.components_ = V
+        self.training_data_ = X
+        self.n_iter_ = n_steps
+        self.history_ = np.asarray(trace, dtype=np.float64)
+        self.fit_info_ = {
+            "n_steps": int(n_steps),
+            "log_likelihood": float(self.history_[-1]) if len(self.history_) else float("nan"),
+            "ll_trace": np.asarray(trace),
+        }
+        return self.embedding_
+
     def transform(self, X, y=None):
+        if self._thresh_is_material():
+            return self._transform_sparse(X)
         X = check_array(X, accept_sparse="csr")
         self._validate_transform_input(X)
         if not issparse(X):
@@ -210,6 +265,21 @@ class BlockParallelPLSA(TopicModelBase):
             self.components_,
             self._make_mesh(),
             _inner_kind(self.backend),
+            random_state=check_random_state(self.transform_random_seed),
+        )
+
+    def _transform_sparse(self, X):
+        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_refit
+
+        X = check_array(X, accept_sparse="csr")
+        self._validate_transform_input(X)
+        if not issparse(X):
+            X = coo_matrix(X).tocsr()
+        return sparse_mesh_refit(
+            X,
+            self.components_,
+            mesh=make_docs_mesh(),
+            e_step_thresh=self.e_step_thresh,
             random_state=check_random_state(self.transform_random_seed),
         )
 
@@ -262,55 +332,14 @@ class DistributedPLSA(BlockParallelPLSA):
             raise ValueError(
                 "layout must be 'dense' or 'sparse', got {!r}".format(self.layout)
             )
-        if self.layout != "sparse":
-            return super().fit_transform(X, y=y, sample_weight=sample_weight)
-        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
-
-        X, sample_weight = validate_corpus(X, sample_weight)
-        data, good_rows, zero_rows_found = split_zero_rows(X)
-        U, V, n_steps, trace = sparse_mesh_fit(
-            data,
-            self.n_components,
-            mesh=make_docs_mesh(),
-            sample_weight=sample_weight[good_rows] if zero_rows_found else sample_weight,
-            init=self.init,
-            n_iter=self.n_iter,
-            n_iter_per_test=self.n_iter_per_test,
-            tolerance=self.tolerance,
-            e_step_thresh=self.e_step_thresh,
-            random_state=self.random_state,
-        )
-        if zero_rows_found:
-            self.embedding_ = reinsert_zero_rows(U, good_rows, X.shape[0], self.n_components)
-        else:
-            self.embedding_ = U
-        self.components_ = V
-        self.training_data_ = X
-        self.n_iter_ = n_steps
-        self.history_ = np.asarray(trace, dtype=np.float64)
-        self.fit_info_ = {
-            "n_steps": int(n_steps),
-            "log_likelihood": float(self.history_[-1]) if len(self.history_) else float("nan"),
-            "ll_trace": np.asarray(trace),
-        }
-        return self.embedding_
+        if self.layout == "sparse":
+            return self._fit_transform_sparse(X, sample_weight)
+        return super().fit_transform(X, y=y, sample_weight=sample_weight)
 
     def transform(self, X, y=None):
-        if self.layout != "sparse":
-            return super().transform(X, y=y)
-        from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_refit
-
-        X = check_array(X, accept_sparse="csr")
-        self._validate_transform_input(X)
-        if not issparse(X):
-            X = coo_matrix(X).tocsr()
-        return sparse_mesh_refit(
-            X,
-            self.components_,
-            mesh=make_docs_mesh(),
-            e_step_thresh=self.e_step_thresh,
-            random_state=check_random_state(self.transform_random_seed),
-        )
+        if self.layout == "sparse":
+            return self._transform_sparse(X)
+        return super().transform(X, y=y)
 
     def _make_mesh(self):
         devices = jax.devices()

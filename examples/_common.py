@@ -2,15 +2,18 @@
 or its transport is unresponsive (a hung device op blocks forever; probing in
 a killable subprocess is the only safe check — same pattern as bench.py)."""
 
+import os
 import subprocess
 import sys
 
-_PROBE = """
-import numpy as np, jax
-jax.default_backend()
-x = jax.device_put(np.ones(8, np.float32))
-assert float(np.asarray(x).sum()) == 8.0
-"""
+
+def _probe_code():
+    """The ONE probe definition lives in bench.py (_PROBE_CODE) — import it so
+    example gating can never drift from bench's own gating semantics."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    return bench._PROBE_CODE
 
 
 def ensure_responsive_backend(probe_timeout_s=120):
@@ -27,7 +30,7 @@ def ensure_responsive_backend(probe_timeout_s=120):
         return "cpu"
     try:
         ok = subprocess.run(
-            [sys.executable, "-c", _PROBE], timeout=probe_timeout_s,
+            [sys.executable, "-c", _probe_code()], timeout=probe_timeout_s,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         ).returncode == 0
     except Exception:

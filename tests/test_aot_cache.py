@@ -88,6 +88,25 @@ def test_corrupt_entry_recompiles(aot_env):
     assert w2.stats["disk_misses"] == 1
 
 
+def test_write_failure_warns_and_continues(aot_env, monkeypatch):
+    """A failed cache write (disk full, permissions, jax-internal rename) must
+    degrade to an uncached compile — never crash the wrapped fit — and must
+    not leave a .tmp file behind."""
+    import tempfile
+
+    def boom(*a, **kw):
+        raise OSError("no space left on device")
+
+    monkeypatch.setattr(tempfile, "mkstemp", boom)
+    f = _toy_program()
+    x = jnp.ones((8, 8), jnp.float32)
+    w = aot_cache.AotCached(f, name="toy")
+    with pytest.warns(UserWarning, match="could not write cache entry toy"):
+        out = float(np.asarray(w(x, jnp.int32(2))))
+    assert out == float(np.asarray(f(x, jnp.int32(2))))
+    assert not [p for p in aot_env.iterdir() if p.suffix == ".tmp"]
+
+
 def test_unsupported_backend_marks_and_degrades(aot_env, monkeypatch):
     import jax.experimental.serialize_executable as se
 

@@ -150,6 +150,31 @@ def test_shard_sell_per_side_lanes():
     np.testing.assert_allclose(wz_m, wz_f, rtol=5e-3, atol=1e-5)
 
 
+def test_dense_layout_material_thresh_routes_to_exact_path():
+    """BlockParallelPLSA / DistributedPLSA(layout='dense') with a materially-
+    firing e_step_thresh must honor it (via the nonzeros-sharded program)
+    rather than silently dropping it like the dense tile kernels would."""
+    from enstop_tpu import BlockParallelPLSA, DistributedPLSA
+
+    X = sp.csr_matrix(make_corpus(np.random.RandomState(0), seed=97,
+                                  n_docs=70, n_words=92).astype(np.int64))
+    m_bp = BlockParallelPLSA(n_components=3, n_iter=12, random_state=0,
+                             e_step_thresh=1e-3).fit(X)
+    zd_f, wz_f = plsa_fit(X, 3, backend="sparse", n_iter=12,
+                          e_step_thresh=1e-3, random_state=0)
+    np.testing.assert_allclose(m_bp.components_, wz_f, rtol=5e-3, atol=1e-5)
+    t = m_bp.transform(X[:10])
+    assert t.shape == (10, 3)
+    # the dense-layout DistributedPLSA inherits the same routing
+    m_d = DistributedPLSA(n_components=3, n_iter=12, random_state=0,
+                          e_step_thresh=1e-3).fit(X)
+    np.testing.assert_allclose(m_d.components_, wz_f, rtol=5e-3, atol=1e-5)
+    # and sub-material thresholds (the default 1e-32) stay on the dense path,
+    # which records wall_time_s in fit_info_ (the sparse path does not)
+    m_dense = BlockParallelPLSA(n_components=3, n_iter=12, random_state=0).fit(X)
+    assert "wall_time_s" in m_dense.fit_info_
+
+
 def test_sparse_mesh_transform():
     """Sparse-layout transform runs the refit sharded over the docs mesh and
     agrees with the flat refit."""
