@@ -222,10 +222,13 @@ class BlockParallelPLSA(TopicModelBase):
     def _fit_transform_sparse(self, X, sample_weight):
         """Fit via the nonzeros-sharded docs-mesh program (exact
         ``e_step_thresh`` semantics; per-chip HBM is O(local nnz))."""
+        import time as _time
+
         from ..parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
 
         X, sample_weight = validate_corpus(X, sample_weight)
         data, good_rows, zero_rows_found = split_zero_rows(X)
+        t0 = _time.perf_counter()
         U, V, n_steps, trace = sparse_mesh_fit(
             data,
             self.n_components,
@@ -250,6 +253,7 @@ class BlockParallelPLSA(TopicModelBase):
             "n_steps": int(n_steps),
             "log_likelihood": float(self.history_[-1]) if len(self.history_) else float("nan"),
             "ll_trace": np.asarray(trace),
+            "wall_time_s": _time.perf_counter() - t0,
         }
         return self.embedding_
 

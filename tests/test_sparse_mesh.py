@@ -169,9 +169,11 @@ def test_dense_layout_material_thresh_routes_to_exact_path():
     m_d = DistributedPLSA(n_components=3, n_iter=12, random_state=0,
                           e_step_thresh=1e-3).fit(X)
     np.testing.assert_allclose(m_d.components_, wz_f, rtol=5e-3, atol=1e-5)
-    # and sub-material thresholds (the default 1e-32) stay on the dense path,
-    # which records wall_time_s in fit_info_ (the sparse path does not)
+    # and sub-material thresholds (the default 1e-32) stay on the dense path:
+    # its result matches the unthresholded fit, not the thresholded one
     m_dense = BlockParallelPLSA(n_components=3, n_iter=12, random_state=0).fit(X)
+    zd_u, wz_u = plsa_fit(X, 3, backend="xla", n_iter=12, random_state=0)
+    np.testing.assert_allclose(m_dense.components_, wz_u, rtol=5e-3, atol=1e-5)
     assert "wall_time_s" in m_dense.fit_info_
 
 
