@@ -143,6 +143,43 @@ def test_full_fit_trajectory_fuzz(seed, backend):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_sparse_mesh_thresh_trajectory_fuzz(seed):
+    """The docs-mesh thresholded fit must follow the single-chip sparse
+    backend's trajectory on random configs and random shard counts — the
+    multi-device analogue of the single-chip trajectory fuzz.  (The oracle is
+    not the comparator here: at aggressive thresholds the reference's
+    unguarded log produces -inf when a word column is fully masked —
+    plsa.py:384 — while every shipped path clamps at the documented 1e-30
+    denormal guard; the two sparse implementations must agree with each
+    other exactly.)"""
+    from enstop_tpu.ops.driver import plsa_fit
+    from enstop_tpu.ops.init import plsa_init
+    from enstop_tpu.parallel.sparse_mesh import make_docs_mesh, sparse_mesh_fit
+
+    rng = np.random.RandomState(seed)
+    X, _, _, w, _ = _random_config(seed + 300)
+    k = 3
+    thresh = float(rng.choice([1e-3, 1e-2]))
+    n_shards = int(rng.choice([2, 4, 8]))
+    pzd, pwz = plsa_init(X, k, rng=np.random.RandomState(seed))
+    n_iter, npt, tol = 15, 5, 0.01
+    want_zd, want_wz, info = plsa_fit(
+        X, k, sample_weight=w, init=(pzd, pwz), n_iter=n_iter,
+        n_iter_per_test=npt, tolerance=tol, e_step_thresh=thresh,
+        backend="sparse", x_dtype=np.float32, return_info=True,
+    )
+    zd, wz, steps, trace = sparse_mesh_fit(
+        X, k, mesh=make_docs_mesh(n_shards), sample_weight=w,
+        init=(pzd, pwz), n_iter=n_iter, n_iter_per_test=npt, tolerance=tol,
+        e_step_thresh=thresh, random_state=seed,
+    )
+    assert steps == info["n_steps"], (seed, n_shards, thresh)
+    np.testing.assert_allclose(trace, info["ll_trace"], rtol=1e-4)
+    np.testing.assert_allclose(zd, np.asarray(want_zd), rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(wz, np.asarray(want_wz), rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_refit_step_fuzz(seed):
     X, zd, wz, w, _ = _random_config(seed + 100)
     n, m = X.shape
