@@ -39,6 +39,10 @@ step ensemble python scripts/bench_ensemble_e2e.py
 #    mode cannot catch Mosaic lowering bugs)
 step kernel_smoke python scripts/exp_dense_smoke.py
 
+# 4b. same for the sparse chunk kernels (refit/thresh/weighted/LL variants);
+#     Pallas-only compiles are fast (~1s each), so this step is cheap
+step chunks_smoke python scripts/exp_chunks_smoke.py
+
 # 5. round-3 kernel grid-layout sweep: device parity + timing vs the shipped
 #    kernel at k in {20, 100, 200} (9 loop programs to compile -> long budget)
 STEP_TIMEOUT=5400 step kernel_v3 python scripts/exp_kernel_v3.py
