@@ -179,6 +179,39 @@ def test_sparse_mesh_thresh_trajectory_fuzz(seed):
     np.testing.assert_allclose(wz, np.asarray(want_wz), rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_streamed_thresh_trajectory_fuzz(seed):
+    """The out-of-core streamed fit with a material threshold must follow the
+    resident sparse backend's trajectory on random configs and block sizes."""
+    from enstop_tpu.models.streamed_core import streamed_fit_core
+    from enstop_tpu.ops.driver import plsa_fit
+    from enstop_tpu.ops.init import plsa_init
+
+    rng = np.random.RandomState(seed)
+    X, _, _, w, _ = _random_config(seed + 400)
+    k = 3
+    thresh = float(rng.choice([1e-3, 1e-2]))
+    block_docs = int(rng.choice([8, 16, 32]))
+    pzd, pwz = plsa_init(X, k, rng=np.random.RandomState(seed))
+    n_iter, npt, tol = 15, 5, 0.01
+    want_zd, want_wz, info = plsa_fit(
+        X, k, sample_weight=w, init=(pzd, pwz), n_iter=n_iter,
+        n_iter_per_test=npt, tolerance=tol, e_step_thresh=thresh,
+        backend="sparse", x_dtype=np.float32, return_info=True,
+    )
+    zd, wz, steps, trace = streamed_fit_core(
+        X, k, block_docs=block_docs, sample_weight=w, init=(pzd, pwz),
+        n_iter=n_iter, n_iter_per_test=npt, tolerance=tol,
+        e_step_thresh=thresh, random_state=seed,
+    )
+    assert steps == info["n_steps"], (seed, block_docs, thresh)
+    np.testing.assert_allclose(trace, info["ll_trace"], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(zd), np.asarray(want_zd),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wz), np.asarray(want_wz),
+                               rtol=5e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_refit_step_fuzz(seed):
     X, zd, wz, w, _ = _random_config(seed + 100)
