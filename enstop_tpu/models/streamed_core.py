@@ -41,6 +41,20 @@ from ..ops.init import plsa_init
 _TINY = 1e-30
 
 
+def _pad_side(owner, idx, val, target_rows):
+    """Pad one SELL side's arrays to ``target_rows`` segment rows (absorbing:
+    owner 0, zero vals)."""
+    r = owner.shape[0]
+    if r == target_rows:
+        return owner, idx, val
+    pad = target_rows - r
+    return (
+        np.concatenate([owner, np.zeros(pad, owner.dtype)]),
+        np.concatenate([idx, np.zeros((pad, idx.shape[1]), idx.dtype)]),
+        np.concatenate([val, np.zeros((pad, val.shape[1]), val.dtype)]),
+    )
+
+
 def _use_pallas():
     # the XLA SELL block ops measure as fast or faster than the Pallas chunk
     # kernels on TPU (see ops/sell.py:prepare_sell) and have no chunk-count
@@ -49,7 +63,18 @@ def _use_pallas():
 
 
 class _BlockStore:
-    """Per-block packed sparse arrays (host, O(nnz_block))."""
+    """Per-block packed sparse arrays (host, O(nnz_block)).
+
+    SELL blocks are packed at UNIFORM shapes: one per-side lane for every
+    block (decided from indptr in a cheap pre-pass, like
+    parallel/sparse_mesh.py:shard_sell) and every side's segment-row count
+    padded to the cross-block maximum.  Shape-uniform blocks mean the jitted
+    per-block step programs (`_block_step_fns`) compile ONCE per fit rather
+    than once per content-dependent block shape — measured 14 distinct shapes
+    over 16 blocks before, i.e. ~14x the remote-compile cost on this
+    environment's 30s-10min-per-program relay.  Padding segment rows carry
+    owner 0 with zero vals, absorbing through every update and the LL.
+    """
 
     def __init__(self, X, block_docs, use_pallas, lane=None):
         Xcsr = X.tocsr() if issparse(X) else csr_matrix(np.asarray(X))
@@ -59,15 +84,35 @@ class _BlockStore:
         self.n_blocks = -(-n // block_docs)
         self.use_pallas = use_pallas
         self.blocks = []
-        self.block_rows = []
-        for b in range(self.n_blocks):
-            lo, hi = b * block_docs, min((b + 1) * block_docs, n)
-            Xb = Xcsr[lo:hi]
-            if use_pallas:
-                self.blocks.append(ps.pack_chunks(Xb))
-            else:
-                self.blocks.append(sell_ops.pack_sell(Xb, lane=lane))
-            self.block_rows.append((lo, hi))
+        self.block_rows = [
+            (b * block_docs, min((b + 1) * block_docs, n))
+            for b in range(self.n_blocks)
+        ]
+        if use_pallas:
+            for lo, hi in self.block_rows:
+                self.blocks.append(ps.pack_chunks(Xcsr[lo:hi]))
+            return
+
+        if lane is not None:
+            lane_d = lane_w = lane
+        else:
+            lane_d = lane_w = 8
+            indptr = Xcsr.indptr
+            for lo, hi in self.block_rows:
+                nnz_b = int(indptr[hi] - indptr[lo])
+                lane_d = max(lane_d, sell_ops._auto_lane(nnz_b, hi - lo))
+                lane_w = max(lane_w, sell_ops._auto_lane(nnz_b, m))
+        for lo, hi in self.block_rows:
+            self.blocks.append(
+                sell_ops.pack_sell(Xcsr[lo:hi], lane=lane_d, lane_words=lane_w)
+            )
+        rd = max(b.row_doc.shape[0] for b in self.blocks)
+        rw = max(b.col_word.shape[0] for b in self.blocks)
+        for blk in self.blocks:
+            blk.row_doc, blk.cols_a, blk.vals_a = _pad_side(
+                blk.row_doc, blk.cols_a, blk.vals_a, rd)
+            blk.col_word, blk.rows_b, blk.vals_b = _pad_side(
+                blk.col_word, blk.rows_b, blk.vals_b, rw)
 
     def host_bytes(self):
         total = 0

@@ -1,6 +1,7 @@
 """StreamedPLSA: out-of-core fit must match the in-core path."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from conftest import make_corpus
@@ -101,6 +102,24 @@ def test_streamed_refit_matches_dense_trajectory(rng):
                                        n_iter_per_test=npt, tolerance=tol,
                                        random_state=np.random.RandomState(7))
         np.testing.assert_allclose(streamed, dense, rtol=5e-3, atol=1e-5)
+
+
+def test_block_store_uniform_shapes(rng):
+    """All SELL blocks of one store share a single array shape, so the jitted
+    per-block step programs compile once per fit — not once per
+    content-dependent block shape (each remote compile costs 30s+ here)."""
+    from enstop_tpu.models.streamed_core import _BlockStore
+
+    X = sp.csr_matrix(make_corpus(rng, n_docs=257, n_words=120, seed=41))
+    store = _BlockStore(X, 32, use_pallas=False)
+    assert store.n_blocks == 9  # includes a partial last block
+    shapes = {
+        (b.row_doc.shape, b.cols_a.shape, b.col_word.shape, b.rows_b.shape)
+        for b in store.blocks
+    }
+    assert len(shapes) == 1, shapes
+    total = sum(float(b.vals_a.sum()) for b in store.blocks)
+    assert total == pytest.approx(float(X.sum()), rel=1e-6)
 
 
 def test_streamed_refit_thresh(rng):
