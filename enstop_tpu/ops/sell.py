@@ -71,6 +71,21 @@ class SellSides:
             setattr(self, k, v)
 
 
+def _bucket_rows(R):
+    """Round a segment-row count up to a coarse bucket (≤ ~3% waste above
+    1024 rows: the next multiple of 2^(floor(log2 R)-4)).
+
+    Compiled program shapes are keyed on these padded counts; fine-grained
+    (multiple-of-8) padding made every similar-but-not-identical corpus —
+    bootstrap resamples, streamed blocks, repeated fits — its own shape and
+    its own 30s-10min remote compile.  Coarse buckets collapse them onto
+    shared shapes for a bounded sliver of absorbing padding rows."""
+    R = max(int(R), 8)
+    if R <= 1024:
+        return round_up(R, 8)
+    return round_up(R, 1 << (R.bit_length() - 5))
+
+
 def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
     """Split each CSR row's nonzeros into ``lane``-wide segments.
 
@@ -83,7 +98,7 @@ def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
     nnz_r = np.diff(indptr).astype(np.int64)
     segs_r = -(-nnz_r // lane)  # ceil; 0 for empty rows
     R = int(segs_r.sum())
-    R_pad = max(round_up(R, 8), 8)
+    R_pad = _bucket_rows(R)
 
     owner = np.zeros(R_pad, np.int32)
     idx = np.zeros((R_pad, lane), np.int32)
@@ -131,7 +146,7 @@ def _pack_word_side_fused(Xcsr, m, lane, build_table):
     counts = np.bincount(Xcsr.indices, minlength=m).astype(np.int64)
     segs_r = -(-counts // lane)
     R = int(segs_r.sum())
-    R_pad = max(round_up(R, 8), 8)
+    R_pad = _bucket_rows(R)
     owner = np.zeros(R_pad, np.int32)
     idx = np.zeros((R_pad, lane), np.int32)
     val = np.zeros((R_pad, lane), np.float32)

@@ -258,6 +258,30 @@ def test_pack_sell_empty_and_long_rows():
     np.testing.assert_allclose(np.asarray(wz2), np.asarray(wz1), rtol=2e-5, atol=1e-7)
 
 
+def test_pack_sell_bucketed_shapes_stable_across_resamples():
+    """Bootstrap resamples of one corpus must pack to IDENTICAL array shapes
+    (coarse row buckets, ~3% max waste): shape-keyed compiled fit programs
+    are then shared across the ensemble's resample runs instead of paying a
+    30s-10min remote compile per run."""
+    rng = np.random.RandomState(3)
+    X = sp.random(800, 600, density=0.05, random_state=rng, format="csr")
+    X.data = np.ceil(X.data * 4).astype(np.float32)
+    X = sp.csr_matrix(X)
+    shapes = set()
+    for _ in range(6):
+        B = X[rng.randint(0, X.shape[0], X.shape[0])]
+        s = sell_ops.pack_sell(B)
+        shapes.add((s.row_doc.shape, s.cols_a.shape, s.col_word.shape,
+                    s.rows_b.shape))
+    assert len(shapes) == 1, shapes
+    # and the bucket padding stays bounded (<= ~6% rows above the minimum)
+    s = sell_ops.pack_sell(X)
+    from enstop_tpu.ops.sell import _bucket_rows
+    for R in (1000, 1025, 5000, 100_000, 3_000_000):
+        assert _bucket_rows(R) >= R
+        assert _bucket_rows(R) <= R * 1.07 + 8
+
+
 def test_ensemble_sparse_backend():
     """EnsembleTopics(backend='sparse') runs the bootstrap fan-out on the
     O(nnz) resident layout; PreparedSell input is accepted; results agree with
