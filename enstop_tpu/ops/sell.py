@@ -529,6 +529,26 @@ def _dev_struct(dev):
 THRESH_MATERIAL = 1e-30
 
 
+def _bucket_doc_inputs(prep, segsum, p_z_given_d, sample_weight):
+    """Pad the doc-indexed inputs (``zd``, ``w``) to a bucketed row count so
+    fits/refits on similar-sized corpora (serving ``transform`` batches)
+    share compiled programs: the scatter segment-sum takes its height from
+    ``zd.shape[0]`` and the padding rows are never referenced by any packed
+    entry, so the trajectory is bit-unchanged.  The gather-form segsum and
+    the chunk layout size their outputs from pack-time metadata instead —
+    those run unpadded."""
+    zd = np.asarray(p_z_given_d, np.float32)
+    w = (np.asarray(sample_weight, np.float32) if sample_weight is not None
+         else np.ones(prep.n, np.float32))
+    n_pad = (_bucket_rows(prep.n)
+             if (prep.kind == "sell" and segsum == "scatter") else prep.n)
+    if n_pad != prep.n:
+        zd = np.concatenate(
+            [zd, np.zeros((n_pad - prep.n, zd.shape[1]), np.float32)])
+        w = np.concatenate([w, np.zeros(n_pad - prep.n, np.float32)])
+    return jnp.asarray(zd), jnp.asarray(w), n_pad
+
+
 def _fallback_to_chunks(prep, err):
     """Repack a SELL corpus as Pallas chunks after a compile rejection.
 
@@ -584,20 +604,23 @@ def sell_fit(
     transparently repacked to the chunk layout and the fit retried (see
     :func:`_fallback_to_chunks`)."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    w = (jnp.asarray(np.asarray(sample_weight, np.float32))
-         if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
 
     def attempt():
+        zd_a, w_a, n_pad = _bucket_doc_inputs(
+            prep, segsum, p_z_given_d, sample_weight)
         run = _build_sell_fit(
             False, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
             thresh_value=float(e_step_thresh) if thresholded else None,
             meta=prep.meta,
         )
-        return run(
-            prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(p_w_given_z), w,
+        out = run(
+            prep.dev, zd_a, jnp.asarray(p_w_given_z), w_a,
             jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
             jnp.int32(n_iter), jnp.int32(n_iter_per_test),
         )
+        if n_pad != prep.n:
+            out = (out[0][: prep.n],) + tuple(out[1:])
+        return out
 
     # NB: prep.src (the caller's scipy matrix, held by reference — no copy)
     # stays pinned even after a successful fit: a later call on the same
@@ -625,20 +648,23 @@ def sell_refit(
     """Frozen-topics refit on a prepared SELL corpus; returns the same tuple.
     Falls back to the chunk layout on a compile rejection, like sell_fit."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
-    w = (jnp.asarray(np.asarray(sample_weight, np.float32))
-         if sample_weight is not None else jnp.ones((prep.n,), jnp.float32))
 
     def attempt():
+        zd_a, w_a, n_pad = _bucket_doc_inputs(
+            prep, segsum, p_z_given_d, sample_weight)
         run = _build_sell_fit(
             True, thresholded, segsum, _dev_struct(prep.dev), kind=prep.kind,
             thresh_value=float(e_step_thresh) if thresholded else None,
             meta=prep.meta,
         )
-        return run(
-            prep.dev, jnp.asarray(p_z_given_d), jnp.asarray(topics), w,
+        out = run(
+            prep.dev, zd_a, jnp.asarray(topics), w_a,
             jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
             jnp.int32(n_iter), jnp.int32(n_iter_per_test),
         )
+        if n_pad != prep.n:
+            out = (out[0][: prep.n],) + tuple(out[1:])
+        return out
 
     try:
         return attempt()

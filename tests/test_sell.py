@@ -282,6 +282,48 @@ def test_pack_sell_bucketed_shapes_stable_across_resamples():
         assert _bucket_rows(R) <= R * 1.07 + 8
 
 
+def test_sparse_refit_batches_share_program_shapes():
+    """Serving transform batches of similar (not identical) sizes must reach
+    the compiled refit program with IDENTICAL input shapes (bucketed doc rows
+    + bucketed segment rows), so one compile serves them all — and the padded
+    run must match the unpadded semantics exactly."""
+    rng = np.random.RandomState(5)
+    X = sp.random(1400, 500, density=0.04, random_state=rng, format="csr")
+    X.data = np.ceil(X.data * 4).astype(np.float32)
+    X = sp.csr_matrix(X)
+    topics = np.random.RandomState(0).rand(4, 500).astype(np.float32)
+    topics /= topics.sum(1, keepdims=True)
+
+    shapes = set()
+    outs = []
+    for lo, hi in ((0, 1100), (100, 1210), (200, 1290)):
+        B = X[lo:hi]
+        prep = sell_ops.prepare_sell(B, standardize=False)
+        zd0 = np.random.RandomState(1).rand(B.shape[0], 4).astype(np.float32)
+        zd0 /= zd0.sum(1, keepdims=True)
+        zd_a, w_a, n_pad = sell_ops._bucket_doc_inputs(prep, "scatter", zd0, None)
+        shapes.add((zd_a.shape, w_a.shape,
+                    sell_ops._dev_struct(prep.dev)))
+        out = sell_ops.sell_refit(prep, zd0, topics, n_iter=5, tolerance=0.0)
+        assert np.asarray(out[0]).shape == (B.shape[0], 4)
+        outs.append(np.asarray(out[0]))
+    assert len(shapes) == 1, {s[:2] for s in shapes}
+    # padded execution is exact: doc 200..1290 refit equals the COO refit
+    Xc = X[200:1290].tocoo()
+    zd0 = np.random.RandomState(1).rand(1090, 4).astype(np.float32)
+    zd0 /= zd0.sum(1, keepdims=True)
+    cur = zd0
+    for _ in range(5):
+        resp = coo_ops.e_step_coo(
+            jnp.asarray(Xc.row), jnp.asarray(Xc.col), jnp.asarray(Xc.data),
+            jnp.asarray(cur), jnp.asarray(topics))
+        cur, _ = coo_ops.m_step_coo(
+            jnp.asarray(Xc.row), jnp.asarray(Xc.col), jnp.asarray(Xc.data),
+            resp, 1090, 500)
+        cur = np.asarray(cur)
+    np.testing.assert_allclose(outs[2], cur, rtol=3e-4, atol=1e-6)
+
+
 def test_ensemble_sparse_backend():
     """EnsembleTopics(backend='sparse') runs the bootstrap fan-out on the
     O(nnz) resident layout; PreparedSell input is accepted; results agree with
