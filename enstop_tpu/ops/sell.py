@@ -77,13 +77,13 @@ def _bucket_rows(R):
 
     Compiled program shapes are keyed on these padded counts; fine-grained
     (multiple-of-8) padding made every similar-but-not-identical corpus —
-    bootstrap resamples, streamed blocks, repeated fits — its own shape and
-    its own 30s-10min remote compile.  Coarse buckets collapse them onto
-    shared shapes for a bounded sliver of absorbing padding rows."""
+    bootstrap resamples, streamed blocks, repeated fits, serving batches —
+    its own shape and its own 30s-10min remote compile (the relay charges
+    small programs the same).  Coarse buckets collapse them onto shared
+    shapes for a bounded sliver of absorbing padding rows; the 128-row
+    floor costs at most ~64 KB of padding at the widest lane."""
     R = max(int(R), 8)
-    if R <= 1024:
-        return round_up(R, 8)
-    return round_up(R, 1 << (R.bit_length() - 5))
+    return round_up(R, max(128, 1 << max(R.bit_length() - 5, 0)))
 
 
 def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):

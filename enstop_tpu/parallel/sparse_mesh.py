@@ -91,7 +91,11 @@ def shard_sell(mesh, X, lane=None):
                                         lane_words=lane_w))
 
     names = ["row_doc", "cols_a", "vals_a", "col_word", "rows_b", "vals_b"]
-    maxes = {k: max(getattr(s, k).shape[0] for s in sides) for k in names}
+    # bucket the common shard height (sell_ops._bucket_rows, ≤ ~3% absorbing
+    # rows) so similar corpora/batches reach the compiled mesh program with
+    # identical shard shapes
+    maxes = {k: sell_ops._bucket_rows(max(getattr(s, k).shape[0] for s in sides))
+             for k in names}
     stacked = {
         k: np.stack([_pad_rows(getattr(s, k), maxes[k]) for s in sides])
         for k in names
@@ -268,7 +272,10 @@ def sparse_mesh_fit(
     n_dev = mesh.shape["docs"]
 
     dev, doc_starts, n, m = shard_sell(mesh, X)
-    local_docs = int(-(-n // n_dev))
+    # bucketed shard height: padding docs are untouched by every packed entry
+    # (owners address real local rows only), so the trajectory is unchanged
+    # while similar corpus sizes share the compiled mesh program
+    local_docs = sell_ops._bucket_rows(-(-n // n_dev))
 
     pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
     kp = max(k, 1)
@@ -318,7 +325,7 @@ def sparse_mesh_refit(
     n_dev = mesh.shape["docs"]
 
     dev, doc_starts, n, m = shard_sell(mesh, X)
-    local_docs = int(-(-n // n_dev))
+    local_docs = sell_ops._bucket_rows(-(-n // n_dev))  # see sparse_mesh_fit
     k = topics.shape[0]
 
     zd0 = rng.rand(n, k).astype(np.float32)

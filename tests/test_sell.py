@@ -274,12 +274,13 @@ def test_pack_sell_bucketed_shapes_stable_across_resamples():
         shapes.add((s.row_doc.shape, s.cols_a.shape, s.col_word.shape,
                     s.rows_b.shape))
     assert len(shapes) == 1, shapes
-    # and the bucket padding stays bounded (<= ~6% rows above the minimum)
+    # and the bucket padding stays bounded: <= ~6% above the minimum, plus
+    # the 128-row floor that keeps tiny programs shareable too
     s = sell_ops.pack_sell(X)
     from enstop_tpu.ops.sell import _bucket_rows
-    for R in (1000, 1025, 5000, 100_000, 3_000_000):
+    for R in (40, 130, 1000, 1025, 5000, 100_000, 3_000_000):
         assert _bucket_rows(R) >= R
-        assert _bucket_rows(R) <= R * 1.07 + 8
+        assert _bucket_rows(R) <= max(R * 1.07, R + 128)
 
 
 def test_sparse_refit_batches_share_program_shapes():

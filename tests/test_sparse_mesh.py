@@ -177,6 +177,26 @@ def test_dense_layout_material_thresh_routes_to_exact_path():
     assert "wall_time_s" in m_dense.fit_info_
 
 
+def test_sparse_mesh_batches_share_program_shapes():
+    """Similar-but-unequal corpus sizes must reach the compiled mesh program
+    with identical shard shapes and shard height (bucketed), so one compile
+    serves them all."""
+    from enstop_tpu.ops.sell import _bucket_rows
+    from enstop_tpu.parallel.sparse_mesh import shard_sell
+
+    mesh = make_docs_mesh(4)
+    X = sp.random(1180, 400, density=0.05,
+                  random_state=np.random.RandomState(23), format="csr")
+    X.data = np.ceil(X.data * 3).astype(np.float32)
+    X = sp.csr_matrix(X)
+    shapes = set()
+    for lo, hi in ((0, 1100), (40, 1144), (80, 1180)):  # overlapping batches
+        dev, starts, n, m = shard_sell(mesh, X[lo:hi])
+        shapes.add(tuple(sorted((k, v.shape) for k, v in dev.items()))
+                   + (_bucket_rows(-(-n // 4)),))
+    assert len(shapes) == 1, {s[-1] for s in shapes}
+
+
 def test_sparse_mesh_transform():
     """Sparse-layout transform runs the refit sharded over the docs mesh and
     agrees with the flat refit."""
