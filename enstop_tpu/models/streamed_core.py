@@ -55,6 +55,18 @@ def _pad_side(owner, idx, val, target_rows):
     )
 
 
+def _pad_block_rows(arr, target_rows):
+    """Pad a per-block doc-indexed array (zd rows / weights) with zeros up to
+    the uniform block height.  Padding docs are never referenced by any packed
+    entry (owners address real local rows only), so results are unchanged;
+    with it, the tail block shares the full blocks' compiled step programs."""
+    r = arr.shape[0]
+    if r == target_rows:
+        return arr
+    pad = np.zeros((target_rows - r,) + arr.shape[1:], arr.dtype)
+    return np.concatenate([np.asarray(arr), pad])
+
+
 def _use_pallas():
     # the XLA SELL block ops measure as fast or faster than the Pallas chunk
     # kernels on TPU (see ops/sell.py:prepare_sell) and have no chunk-count
@@ -249,13 +261,15 @@ def streamed_fit_core(
 
     pzd0, pwz0 = plsa_init(X, k, init=init, rng=rng)
     wz = jnp.asarray(pwz0)
-    zd_blocks = [jnp.asarray(pzd0[lo:hi]) for lo, hi in store.block_rows]
+    bh = block_docs if not use_pallas else None  # uniform height (SELL path)
+    pad = (lambda a: _pad_block_rows(a, bh)) if bh else (lambda a: a)
+    zd_blocks = [jnp.asarray(pad(pzd0[lo:hi])) for lo, hi in store.block_rows]
     weighted = sample_weight is not None and bool(
         np.any(np.asarray(sample_weight) != 1.0)
     )
     w_np = (np.asarray(sample_weight, np.float32) if weighted
             else np.ones(n, np.float32))
-    w_blocks = [jnp.asarray(w_np[lo:hi]) for lo, hi in store.block_rows]
+    w_blocks = [jnp.asarray(pad(w_np[lo:hi])) for lo, hi in store.block_rows]
 
     word_accum, doc_update, ship = _block_step_fns(use_pallas, thresh)
     finish_wz = _finish_wz_fn(thresh is None)
@@ -294,7 +308,7 @@ def streamed_fit_core(
             if prev_ll is not None:
                 change = abs(cur - prev_ll)
                 if change == 0.0 or change / abs(cur) < tolerance:
-                    zd_full = np.vstack(saved[0])
+                    zd_full = np.vstack(saved[0])[:n]
                     return zd_full, saved[1], saved_at, ll_trace
             prev_ll = cur
         elif t == 1:
@@ -312,7 +326,7 @@ def streamed_fit_core(
             ll_acc = ll_acc + ll_b
         ll_trace.append(float(ll_acc))
 
-    zd_full = np.vstack([np.asarray(zb) for zb in zd_blocks])
+    zd_full = np.vstack([np.asarray(zb) for zb in zd_blocks])[:n]
     return zd_full, np.asarray(wz), steps_run, ll_trace
 
 
@@ -366,13 +380,15 @@ def streamed_refit_core(
     # on identical random_state.  O(n·k) host, same as the returned embedding.
     z0 = rng.rand(n, k)
     z0 /= z0.sum(axis=1, keepdims=True)
-    zd_blocks = [jnp.asarray(z0[lo:hi].astype(np.float32))
+    bh = block_docs if not use_pallas else None  # uniform height (SELL path)
+    pad = (lambda a: _pad_block_rows(a, bh)) if bh else (lambda a: a)
+    zd_blocks = [jnp.asarray(pad(z0[lo:hi].astype(np.float32)))
                  for lo, hi in store.block_rows]
     if sample_weight is not None and np.any(np.asarray(sample_weight) != 1.0):
         sw = np.asarray(sample_weight, np.float32)
-        w_blocks = [jnp.asarray(sw[lo:hi]) for lo, hi in store.block_rows]
+        w_blocks = [jnp.asarray(pad(sw[lo:hi])) for lo, hi in store.block_rows]
     else:
-        w_blocks = [jnp.ones((hi - lo,), jnp.float32)
+        w_blocks = [jnp.ones((bh or (hi - lo),), jnp.float32)
                     for lo, hi in store.block_rows]
 
     n_iter = int(n_iter)
@@ -409,8 +425,8 @@ def streamed_refit_core(
         else:
             change = abs(cur - prev_ll)
             if change == 0.0 or change / abs(cur) < tolerance:
-                return np.vstack(saved)      # state AT the converged test point
+                return np.vstack(saved)[:n]  # state AT the converged test point
             prev_ll = cur
     # a test point landing exactly on n_iter changes no returned state
     # (converged or not, the dense path returns state_{n_iter}) — no extra pass
-    return np.vstack([np.asarray(zb) for zb in zd_blocks])
+    return np.vstack([np.asarray(zb) for zb in zd_blocks])[:n]

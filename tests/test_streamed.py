@@ -120,6 +120,14 @@ def test_block_store_uniform_shapes(rng):
     assert len(shapes) == 1, shapes
     total = sum(float(b.vals_a.sum()) for b in store.blocks)
     assert total == pytest.approx(float(X.sum()), rel=1e-6)
+    # the tail block's zd/w also pad to the uniform block height, so the
+    # per-block step programs specialize exactly once per fit
+    from enstop_tpu.models.streamed_core import _pad_block_rows
+
+    tail = np.ones((257 - 8 * 32, 3), np.float32)
+    assert _pad_block_rows(tail, 32).shape == (32, 3)
+    np.testing.assert_array_equal(_pad_block_rows(tail, 32)[: tail.shape[0]],
+                                  tail)
 
 
 def test_streamed_refit_thresh(rng):
