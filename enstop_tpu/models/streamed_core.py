@@ -44,27 +44,15 @@ _TINY = 1e-30
 def _pad_side(owner, idx, val, target_rows):
     """Pad one SELL side's arrays to ``target_rows`` segment rows (absorbing:
     owner 0, zero vals)."""
-    r = owner.shape[0]
-    if r == target_rows:
-        return owner, idx, val
-    pad = target_rows - r
-    return (
-        np.concatenate([owner, np.zeros(pad, owner.dtype)]),
-        np.concatenate([idx, np.zeros((pad, idx.shape[1]), idx.dtype)]),
-        np.concatenate([val, np.zeros((pad, val.shape[1]), val.dtype)]),
-    )
+    return (sell_ops.pad_rows(owner, target_rows),
+            sell_ops.pad_rows(idx, target_rows),
+            sell_ops.pad_rows(val, target_rows))
 
 
-def _pad_block_rows(arr, target_rows):
-    """Pad a per-block doc-indexed array (zd rows / weights) with zeros up to
-    the uniform block height.  Padding docs are never referenced by any packed
-    entry (owners address real local rows only), so results are unchanged;
-    with it, the tail block shares the full blocks' compiled step programs."""
-    r = arr.shape[0]
-    if r == target_rows:
-        return arr
-    pad = np.zeros((target_rows - r,) + arr.shape[1:], arr.dtype)
-    return np.concatenate([np.asarray(arr), pad])
+# per-block doc-indexed arrays (zd rows / weights) pad with the same shared
+# absorbing-row padder: padding docs are never referenced by any packed entry,
+# and with it the tail block shares the full blocks' compiled step programs
+_pad_block_rows = sell_ops.pad_rows
 
 
 def _use_pallas():

@@ -72,8 +72,10 @@ class SellSides:
 
 
 def _bucket_rows(R):
-    """Round a segment-row count up to a coarse bucket (≤ ~3% waste above
-    1024 rows: the next multiple of 2^(floor(log2 R)-4)).
+    """Round a segment-row count up to a coarse bucket: the next multiple of
+    max(128, 2^(floor(log2 R)-4)).  Worst-case padding is ~1/16 ≈ 6%
+    asymptotically (granularity is between R/32 and R/16) and up to ~12%
+    just above the 128-row floor crossover.
 
     Compiled program shapes are keyed on these padded counts; fine-grained
     (multiple-of-8) padding made every similar-but-not-identical corpus —
@@ -84,6 +86,17 @@ def _bucket_rows(R):
     floor costs at most ~64 KB of padding at the widest lane."""
     R = max(int(R), 8)
     return round_up(R, max(128, 1 << max(R.bit_length() - 5, 0)))
+
+
+def pad_rows(arr, target_rows):
+    """Zero-pad a host array's leading axis up to ``target_rows`` (the shared
+    absorbing-row padder: segment rows carry owner 0 / zero vals, doc rows
+    are never referenced by any packed entry)."""
+    r = arr.shape[0]
+    if r == target_rows:
+        return arr
+    pad = np.zeros((target_rows - r,) + arr.shape[1:], arr.dtype)
+    return np.concatenate([np.asarray(arr), pad])
 
 
 def _pack_one_side(indptr, indices, data, n_rows, lane, build_table=False):
@@ -536,17 +549,21 @@ def _bucket_doc_inputs(prep, segsum, p_z_given_d, sample_weight):
     ``zd.shape[0]`` and the padding rows are never referenced by any packed
     entry, so the trajectory is bit-unchanged.  The gather-form segsum and
     the chunk layout size their outputs from pack-time metadata instead —
-    those run unpadded."""
-    zd = np.asarray(p_z_given_d, np.float32)
-    w = (np.asarray(sample_weight, np.float32) if sample_weight is not None
-         else np.ones(prep.n, np.float32))
+    those run unpadded.
+
+    Padding happens with jnp ops: device-resident inputs (the ensemble's
+    on-device generated inits) must NOT round-trip through the host — a
+    blocking D2H per run would re-serialize the pipelined run dispatch."""
+    zd = jnp.asarray(p_z_given_d, jnp.float32)
+    w = (jnp.asarray(sample_weight, jnp.float32)
+         if sample_weight is not None else jnp.ones(prep.n, jnp.float32))
     n_pad = (_bucket_rows(prep.n)
              if (prep.kind == "sell" and segsum == "scatter") else prep.n)
     if n_pad != prep.n:
-        zd = np.concatenate(
-            [zd, np.zeros((n_pad - prep.n, zd.shape[1]), np.float32)])
-        w = np.concatenate([w, np.zeros(n_pad - prep.n, np.float32)])
-    return jnp.asarray(zd), jnp.asarray(w), n_pad
+        zd = jnp.concatenate(
+            [zd, jnp.zeros((n_pad - prep.n, zd.shape[1]), jnp.float32)])
+        w = jnp.concatenate([w, jnp.zeros(n_pad - prep.n, jnp.float32)])
+    return zd, w, n_pad
 
 
 def _fallback_to_chunks(prep, err):

@@ -45,11 +45,7 @@ def make_docs_mesh(n_shards=None, devices=None):
     return Mesh(np.asarray(devices[:n_shards]), axis_names=("docs",))
 
 
-def _pad_rows(a, target_rows):
-    if a.shape[0] == target_rows:
-        return a
-    pad = np.zeros((target_rows - a.shape[0],) + a.shape[1:], a.dtype)
-    return np.concatenate([a, pad], axis=0)
+_pad_rows = sell_ops.pad_rows  # the shared absorbing-row padder
 
 
 def shard_sell(mesh, X, lane=None):
@@ -91,9 +87,9 @@ def shard_sell(mesh, X, lane=None):
                                         lane_words=lane_w))
 
     names = ["row_doc", "cols_a", "vals_a", "col_word", "rows_b", "vals_b"]
-    # bucket the common shard height (sell_ops._bucket_rows, ≤ ~3% absorbing
-    # rows) so similar corpora/batches reach the compiled mesh program with
-    # identical shard shapes
+    # bucket the common shard height (sell_ops._bucket_rows, worst case
+    # ~6-12% absorbing rows) so similar corpora/batches reach the compiled
+    # mesh program with identical shard shapes
     maxes = {k: sell_ops._bucket_rows(max(getattr(s, k).shape[0] for s in sides))
              for k in names}
     stacked = {
