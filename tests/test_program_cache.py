@@ -14,6 +14,39 @@ from enstop_tpu.parallel import sparse_mesh as sparse_mod
 from enstop_tpu.models import streamed_core
 
 
+def test_distinct_similar_corpora_share_one_sparse_fit_program():
+    """Shape bucketing end-to-end: fitting two DIFFERENT equal-length document
+    windows (serving batches: same batch size, different content and nnz)
+    through the sparse backend compiles the fit program exactly once — the
+    second fit reuses the first's executable."""
+    import logging
+
+    import scipy.sparse as sp
+
+    from enstop_tpu.ops.driver import plsa_fit
+
+    X = sp.random(1300, 420, density=0.04,
+                  random_state=np.random.RandomState(7), format="csr")
+    X.data = np.ceil(X.data * 3).astype(np.float32)
+    X = sp.csr_matrix(X)
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(handler)
+    old = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lo, hi in ((0, 1150), (150, 1300)):
+            plsa_fit(X[lo:hi], 4, backend="sparse", n_iter=6, random_state=0)
+    finally:
+        jax.config.update("jax_log_compiles", old)
+        logger.removeHandler(handler)
+    fit_compiles = [r for r in records if "jit(run)" in r]
+    assert len(fit_compiles) == 1, fit_compiles
+
+
 def test_sharded_program_builders_are_cached():
     m = mesh_mod.make_mesh(4, 2)
     assert mesh_mod.build_sharded_em_step(m, inner="xla") is (
