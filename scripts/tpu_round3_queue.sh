@@ -61,4 +61,9 @@ ENSTOP_EM_KERNEL=jo_resident ENSTOP_AOT_CACHE=0 step bench_jores python bench.py
 #    too; compare to step 3's number)
 ENSTOP_EM_KERNEL=jo_resident step ensemble_jores python scripts/bench_ensemble_e2e.py
 
+# 9. sparse-path table refresh (configs A/B/D) under the round-3 bucketed
+#    padding — compare against docs/PERFORMANCE.md's round-2 numbers (the
+#    buckets add <= ~6% rows to the SELL programs)
+step sparse_bench python scripts/bench_sparse.py
+
 echo "=== queue complete $(date +%T) ==="
