@@ -118,10 +118,31 @@ def _device_responsive(budget_s=None):
         time.sleep(min(60.0, max(0.0, remaining - 150.0), 30.0 * attempt))
 
 
+def _reexec(extra_env, note):
+    """Replace this process with a fresh bench run under ``extra_env``."""
+    import os
+
+    print(f"# bench re-exec ({note})", file=sys.stderr, flush=True)
+    env = dict(os.environ, **extra_env)
+    os.execvpe(sys.executable, [sys.executable, os.path.abspath(__file__)],
+               env)
+
+
 def main():
+    """Never exits nonzero: any failure retries with the AOT cache off, then
+    on CPU, then (last resort) emits an honest error record and exits 0.
+    BENCH_r03 recorded rc=1 (a crash, no number) — strictly worse for the
+    driver than any honest fallback JSON; this ladder makes that impossible."""
     import os
 
     import jax
+
+    # AOT executable disk cache: when the runtime supports
+    # SerializeExecutable, a later bench process loads the compiled fit
+    # program from disk instead of paying the remote compile again.  Every
+    # disk hit is verify-executed (aot_cache.py); if it still fails, the
+    # retry ladder below re-runs this process with the cache off.
+    os.environ.setdefault("ENSTOP_AOT_CACHE", "1")
 
     if os.environ.get("ENSTOP_BENCH_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
@@ -129,15 +150,51 @@ def main():
         # dead relay even after the retry/backoff window: re-exec on CPU so
         # the driver still records a number — marked backend="cpu-fallback"
         # in the JSON so it can never masquerade as a TPU regression
-        print("# device backend unresponsive after full probe budget "
-              "(relay daemon dead); re-exec on CPU", file=sys.stderr,
-              flush=True)
-        env = dict(os.environ, ENSTOP_BENCH_FORCE_CPU="1",
-                   ENSTOP_BENCH_FALLBACK_REASON="tpu relay unresponsive "
-                   "after full probe budget")
-        os.execvpe(sys.executable, [sys.executable, os.path.abspath(__file__)],
-                   env)
+        _reexec(
+            {"ENSTOP_BENCH_FORCE_CPU": "1",
+             "ENSTOP_BENCH_FALLBACK_REASON": "tpu relay unresponsive after "
+             "full probe budget"},
+            "device backend unresponsive after full probe budget",
+        )
 
+    try:
+        _bench_body()
+    except BaseException as e:
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        cache_on = os.environ.get("ENSTOP_AOT_CACHE", "0").strip().lower() \
+            not in ("0", "off", "false", "")
+        if cache_on:
+            _reexec({"ENSTOP_AOT_CACHE": "0"},
+                    f"bench raised {type(e).__name__} with the AOT cache on; "
+                    "retrying with it off")
+        if jax.default_backend() != "cpu":
+            _reexec(
+                {"ENSTOP_BENCH_FORCE_CPU": "1", "ENSTOP_AOT_CACHE": "0",
+                 "ENSTOP_BENCH_FALLBACK_REASON":
+                     f"tpu bench raised {type(e).__name__}: {str(e)[:160]}"},
+                f"bench raised {type(e).__name__} on "
+                f"{jax.default_backend()}; retrying on CPU")
+        # CPU with the cache off still failed: record the failure honestly
+        # rather than crash the driver artifact
+        print(json.dumps({
+            "metric": "plsa_em_updates_per_s_20ng_k20",
+            "value": 0.0,
+            "unit": "Gupdates/s",
+            "vs_baseline": 0.0,
+            "backend": "error",
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        return
+
+
+def _bench_body():
+    import os
+
+    import jax
     import jax.numpy as jnp
 
     from enstop_tpu.ops.data import pad_factors, pad_vector
@@ -178,13 +235,6 @@ def main():
     # iterations so the measured work is exactly N_ITER steps + the
     # reference's 11 tests.
     from enstop_tpu.ops.driver import _build_fit_fn, _build_fit_fn_cached
-
-    # AOT executable disk cache: when the runtime supports
-    # SerializeExecutable, a later bench process loads the compiled fit
-    # program from disk instead of paying the remote compile again (the
-    # first run writes it; an unsupported runtime gets a one-time marker
-    # and is never asked again).  ENSTOP_AOT_CACHE=0 opts out.
-    os.environ.setdefault("ENSTOP_AOT_CACHE", "1")
 
     run = _build_fit_fn(backend, N_ITER, 10, True, False, "default")
 

@@ -27,6 +27,17 @@ bound to specific devices).  Lowering is local tracing (cheap); only the
 ``.compile()`` step hits the remote relay, which is exactly the step a
 disk hit skips.
 
+RELIABILITY (learned from the BENCH_r03 crash): on this VM, executables
+that deserialize cleanly in a FRESH process can still die at result
+readback ("Buffer Definition Event: Function ... not found") — even
+single-device CPU programs; the writing process is always fine, only the
+reloading process fails, so in-process tests cannot catch it.  Every disk
+hit is therefore verify-executed (run once on the real args + full host
+readback) before being trusted; any failure unlinks the entry, warns, and
+falls back to a plain compile.  The cross-process test lives at
+tests/test_aot_cache.py (subprocess round-trip of the production fit
+program).
+
 No reference analog: this subsystem exists because of this environment's
 remote-compile latency; a production TPU runtime compiles locally.
 """
@@ -52,6 +63,7 @@ _DEFAULT_DIR = os.path.join(
 )
 _LOCK = threading.Lock()
 _WRAPPERS = weakref.WeakSet()
+_UNSET = object()  # "no verified result available" sentinel
 
 
 def cache_dir() -> Path:
@@ -135,15 +147,27 @@ class AotCached:
         if ex is not None:
             self.stats["mem_hits"] += 1
             return ex(*args)
-        ex = self._load_or_compile(args)
+        ex, result = self._load_or_compile(args)
         if ex is None:
             return self._jitted(*args)
+        # memoize only AFTER the executable has produced a verified (or
+        # freshly-compiled) result — a disk-loaded executable that fails at
+        # readback must never be pinned in _mem (it would poison every call)
         self._mem[key] = ex
+        if result is not _UNSET:
+            return result
         return ex(*args)
 
     # -- internals ---------------------------------------------------------
 
     def _load_or_compile(self, args):
+        """Return ``(executable, result)``.
+
+        ``executable`` is ``None`` when the plain jit path should be used.
+        ``result`` is the output of a verified execution on ``args`` when one
+        was performed (disk hits are always verify-executed before being
+        trusted), else the ``_UNSET`` sentinel.
+        """
         # multi-device executables: serialize/deserialize round-trips of
         # sharded CPU executables are UNRELIABLE in this jax version (a
         # reloaded program can execute but fail result readback with
@@ -161,23 +185,32 @@ class AotCached:
                     if sh is not None:
                         devs |= set(getattr(sh, "device_set", ()))
                 if len(devs) > 1:
-                    return None
+                    return None, _UNSET
             except Exception:
-                return None
+                return None, _UNSET
         try:
             tag = _backend_tag()
             if _marker_path(tag).exists():
-                return None  # runtime rejected serialization earlier
+                return None, _UNSET  # runtime rejected serialization earlier
             lowered = self._jitted.lower(*args)
             h = hashlib.sha256(
                 (lowered.as_text() + "\n" + tag).encode()
             ).hexdigest()
         except Exception as e:  # lowering problems -> plain path
             warnings.warn(f"aot_cache: lowering failed ({e!r}); plain jit path")
-            return None
+            return None, _UNSET
         path = cache_dir() / f"{self.name}-{h[:24]}.pkl"
+        bad = path.with_suffix(".bad")
 
-        if path.exists():
+        if path.exists() and not bad.exists():
+            # VERIFY-ON-LOAD: on this VM even *single-device* CPU programs
+            # that deserialize cleanly can die at result readback in a fresh
+            # process ("Buffer Definition Event: Function ... not found" —
+            # 100% reproducible, crashed BENCH_r03).  A loaded executable is
+            # therefore only trusted after one real execution whose outputs
+            # survive a host readback; any failure unlinks the entry and
+            # falls through to the plain compile below.
+            phase = "load"
             try:
                 import jax
                 from jax.experimental.serialize_executable import (
@@ -194,20 +227,50 @@ class AotCached:
                 loaded = deserialize_and_load(
                     ser, in_tree, out_tree, execution_devices=exec_devices
                 )
+                phase = "execute"
+                out = loaded(*args)
+                import numpy as _np
+
+                for leaf in jax.tree_util.tree_leaves(out):
+                    _np.asarray(leaf)  # forces readback; the failing step
                 self.stats["disk_hits"] += 1
-                return loaded
+                return loaded, out
             except Exception as e:
-                warnings.warn(
-                    f"aot_cache: stale/unloadable entry {path.name} "
-                    f"({type(e).__name__}); recompiling"
-                )
+                if phase == "load":
+                    warnings.warn(
+                        f"aot_cache: stale/unloadable entry {path.name} "
+                        f"({type(e).__name__}); recompiling"
+                    )
+                else:
+                    warnings.warn(
+                        f"aot_cache: entry {path.name} failed to "
+                        f"execute+read back after reload "
+                        f"({type(e).__name__}: {str(e)[:120]}); "
+                        f"unlinking and recompiling"
+                    )
                 try:
                     path.unlink()
                 except OSError:
                     pass
+                if phase == "execute":
+                    # the entry loaded fine but its executable dies at
+                    # readback: THIS program does not survive a reload on
+                    # this backend.  Remember it so later processes stop
+                    # re-writing and re-trying a doomed entry (the
+                    # write/fail cycle would otherwise repeat forever
+                    # across process pairs).  Load-phase failures (corrupt
+                    # file, jax upgrade) stay re-writable.
+                    try:
+                        bad.touch()
+                    except OSError:
+                        pass
 
         compiled = lowered.compile()
         self.stats["disk_misses"] += 1
+        if bad.exists():
+            # a previous process proved this program's serialized form dies
+            # at readback after reload on this backend — don't re-write it
+            return compiled, _UNSET
         try:
             from jax.experimental.serialize_executable import serialize
 
@@ -223,7 +286,7 @@ class AotCached:
                 _marker_path(_backend_tag()).touch()
             except Exception:
                 pass
-            return compiled
+            return compiled, _UNSET
         tmp = None
         try:
             # private jax internals — a rename here must NOT be mistaken for
@@ -248,7 +311,7 @@ class AotCached:
                 f"aot_cache: could not write cache entry {self.name} "
                 f"({type(e).__name__}: {str(e)[:120]}); continuing uncached"
             )
-        return compiled
+        return compiled, _UNSET
 
 
 def maybe_wrap(jitted, name="prog"):

@@ -1,0 +1,88 @@
+"""Measured-best EM-kernel grid-layout selection (VERDICT r03 item 3).
+
+The round-3 traffic analysis (ops/pallas_em_variants.py docstring) predicts
+the j-outer layouts beat the shipped i-outer kernel at large k (the aliased-A
+RMW + wz re-read traffic scales with kp), but a prediction must not pick the
+default — only hardware numbers may.  scripts/exp_kernel_v3.py, when it runs
+on a live relay, writes its sweep into ``enstop_tpu/data/kernel_measured.json``;
+this module reads that table and picks the measured-best variant for a given
+k.  No table / no measured win -> the shipped kernel (current behavior,
+bit-for-bit).
+
+Selection contract:
+
+* ``ENSTOP_EM_KERNEL`` (explicit variant or ``shipped``/``default``) always
+  wins — the env switch is demoted to an override, per the verdict.
+* the table only applies on a REAL tpu backend of the same device kind it
+  was measured on (interpret-mode runs must keep the deterministic
+  alias-free routing in pallas_em).
+* k is matched to the nearest measured k in log-space; a variant is chosen
+  only if it beat the shipped kernel by >2% there (ties keep shipped).
+
+Table schema (written by scripts/exp_kernel_v3.py)::
+
+    {"device_kind": "TPU v5e", "date": "...", "entries": [
+        {"k": 100, "best": "jo_resident",
+         "per_iter_ms": {"shipped": 12.1, "jo": 10.0, "jo_resident": 9.6}},
+        ...]}
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+from pathlib import Path
+
+TABLE_PATH = Path(__file__).resolve().parent.parent / "data" / "kernel_measured.json"
+
+# a measured variant must beat shipped by this factor to displace it
+_WIN_MARGIN = 0.98
+
+
+@functools.lru_cache(maxsize=1)
+def _load_table():
+    path = os.environ.get("ENSTOP_KERNEL_TABLE", str(TABLE_PATH))
+    try:
+        with open(path) as fh:
+            t = json.load(fh)
+        if not isinstance(t.get("entries"), list):
+            return None
+        return t
+    except (OSError, ValueError):
+        return None
+
+
+def clear_cache():
+    _load_table.cache_clear()
+
+
+def measured_best_variant(k: int, device_kind: str | None) -> str | None:
+    """The measured-best grid layout for ``k`` on this device, or ``None``
+    for the shipped kernel.  ``device_kind`` is ``jax.devices()[0].device_kind``
+    of a real tpu backend (pass ``None`` off-TPU -> always shipped)."""
+    if device_kind is None:
+        return None
+    table = _load_table()
+    if table is None:
+        return None
+    measured_kind = table.get("device_kind", "")
+    if measured_kind and measured_kind != device_kind:
+        return None  # measured on different hardware: don't extrapolate
+    entries = [e for e in table["entries"]
+               if isinstance(e.get("k"), (int, float)) and e.get("per_iter_ms")]
+    if not entries:
+        return None
+    nearest = min(entries, key=lambda e: abs(math.log(e["k"]) - math.log(max(k, 1))))
+    times = {
+        name: v for name, v in nearest["per_iter_ms"].items()
+        if isinstance(v, (int, float))
+    }
+    shipped = times.get("shipped")
+    if shipped is None:
+        return None
+    best_name = min(times, key=times.get)
+    if best_name == "shipped" or times[best_name] > shipped * _WIN_MARGIN:
+        return None
+    return best_name

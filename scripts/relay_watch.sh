@@ -1,16 +1,17 @@
 #!/bin/bash
 # Watch the TPU relay daemon; the moment it answers a tiny-op probe, touch
-# /tmp/relay_alive and fire the round-3 TPU work queue (once).
+# /tmp/relay_alive and fire the TPU work queue (once).
 # Usage: nohup bash scripts/relay_watch.sh > /tmp/relay_watch.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
+QUEUE="${RELAY_QUEUE:-scripts/tpu_round4_queue.sh}"
 
 while true; do
   # the probe definition lives in bench.py (_PROBE_CODE) — one source of truth
   if timeout 200 python bench.py --probe 150; then
     date +%s > /tmp/relay_alive
-    echo "relay ALIVE at $(date +%T) — launching round-3 queue"
-    bash scripts/tpu_round3_queue.sh
+    echo "relay ALIVE at $(date +%T) — launching $QUEUE"
+    bash "$QUEUE"
     echo "queue finished at $(date +%T)"
     exit 0
   fi

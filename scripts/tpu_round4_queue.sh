@@ -1,0 +1,77 @@
+#!/bin/bash
+# Round-4 TPU work queue — run the moment the relay daemon is alive.
+# Sequential (ONE TPU client process at a time; concurrent processes contend
+# for the tunneled chip and corrupt every timing).  Each step logs to
+# /tmp/tpu_q4_<step>.log; safe to re-run — steps are independent.
+#
+# Usage:  nohup bash scripts/tpu_round4_queue.sh > /tmp/tpu_queue4.log 2>&1 &
+#         tail -f /tmp/tpu_queue4.log
+#
+# VERDICT r03 item 2: "Done = BENCH_r04.json with backend: tpu and
+# vs_baseline >= 50, or an rc=0 fallback record plus the queue logs proving
+# it was armed."  This queue is the armed half of that contract.
+
+set -u
+cd "$(dirname "$0")/.."
+
+step() {
+  local name="$1"; shift
+  echo "=== $name: $(date +%T) ==="
+  timeout "${STEP_TIMEOUT:-2400}" "$@" > "/tmp/tpu_q4_${name}.log" 2>&1
+  echo "=== $name done rc=$? $(date +%T) (log: /tmp/tpu_q4_${name}.log) ==="
+}
+
+# 0. liveness gate — bail fast if the relay is still dead (the probe
+#    definition lives in bench.py:_PROBE_CODE — one source of truth)
+if ! timeout 200 python bench.py --probe 150; then
+  echo "relay DEAD — aborting queue"
+  exit 1
+fi
+echo "relay alive"
+
+# 1. the official perf artifact's program: full bench (compile + best-of-3).
+#    Expect 14-18 Gupd/s (vs_baseline >= 50); the retry ladder guarantees
+#    rc=0 either way.
+STEP_TIMEOUT=5400 step bench python bench.py
+
+# 2. can compiled executables be serialized on axon? (would kill the
+#    per-process remote-compile cost — the verify-on-load path makes a "yes"
+#    safe to ship and a "no" harmless)
+step aot_probe python scripts/exp_aot_cache.py
+
+# 3. round-3 kernel grid-layout sweep: device parity + timing vs the shipped
+#    kernel at k in {20, 100, 200} — feeds VERDICT item 3 (auto layout
+#    selection by measured best)
+STEP_TIMEOUT=5400 step kernel_v3 python scripts/exp_kernel_v3.py
+
+# 4. ensemble E2E with the vectorized combiner prep (target: <= 4 s warm —
+#    VERDICT item 6; record the measured number in docs/PERFORMANCE.md)
+step ensemble python scripts/bench_ensemble_e2e.py
+
+# 5. kernel smoke of every static Pallas variant on real hardware (interpret
+#    mode cannot catch Mosaic lowering bugs)
+step kernel_smoke python scripts/exp_dense_smoke.py
+step chunks_smoke python scripts/exp_chunks_smoke.py
+
+# 6. second bench run: exercises the AOT disk-cache reload path on axon
+#    (verify-on-load makes a readback failure non-fatal; compare
+#    "# aot_cache" stderr lines with step 1's log) — also the serving
+#    compile-reuse proof half of VERDICT item 7
+step bench_aot_warm python bench.py
+
+# 7. compile-reuse on the real remote compiler: N transform batches within
+#    one row bucket -> exactly ONE remote compile (VERDICT item 7)
+step compile_reuse python scripts/exp_compile_reuse.py
+
+# 8. full bench through the production fit program with the jo_resident grid
+#    layout (apples-to-apples Gupd/s vs step 1)
+ENSTOP_EM_KERNEL=jo_resident ENSTOP_AOT_CACHE=0 STEP_TIMEOUT=5400 \
+  step bench_jores python bench.py
+
+# 9. ensemble E2E through the variant layouts (exercises the refit variant)
+ENSTOP_EM_KERNEL=jo_resident step ensemble_jores python scripts/bench_ensemble_e2e.py
+
+# 10. sparse-path table refresh (configs A/B/D) under the bucketed padding
+step sparse_bench python scripts/bench_sparse.py
+
+echo "=== queue complete $(date +%T) ==="

@@ -1,8 +1,13 @@
 """AOT executable disk cache (enstop_tpu/aot_cache.py).
 
-serialize_executable round-trips on the CPU backend, so the full
+Same-process reload always works on the CPU backend, so the
 lower -> disk-miss -> serialize -> fresh-wrapper disk-hit cycle is
-exercised here; whether the axon TPU runtime supports it is probed by
+exercised in-process here.  Crucially, that is NOT the failure mode the
+cache must survive: on this VM a *fresh process* reloading an entry can
+die at result readback ("Buffer Definition Event ... not found" — the
+BENCH_r03 crash), which only test_cross_process_roundtrip below can
+catch (true subprocess round-trip of the production fit program).
+Whether the axon TPU runtime supports serialization at all is probed by
 scripts/exp_aot_cache.py on hardware.
 """
 
@@ -57,7 +62,10 @@ def test_miss_then_fresh_process_hit(aot_env):
     entries = [p for p in aot_env.iterdir() if p.suffix == ".pkl"]
     assert len(entries) == 1 and entries[0].name.startswith("toy-")
 
-    # a fresh wrapper simulates a fresh process: must load, not compile
+    # a fresh wrapper in the SAME process: must load, not compile.  (This
+    # does NOT simulate a fresh process — same-process reloads always work;
+    # the cross-process failure mode is covered by
+    # test_cross_process_roundtrip.)
     w2 = aot_cache.AotCached(f, name="toy")
     r2 = float(np.asarray(w2(x, jnp.int32(4))))
     assert w2.stats == {"disk_hits": 1, "disk_misses": 0, "mem_hits": 0}
@@ -161,6 +169,90 @@ def test_sharded_mesh_program_skips_disk_cache(aot_env):
     # and the factors are still a valid fit output
     zd_out = np.asarray(out1[0])
     np.testing.assert_allclose(zd_out.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_verify_failure_unlinks_marks_and_recompiles(aot_env):
+    """A disk entry whose loaded executable fails at execution/readback (the
+    BENCH_r03 failure) must be unlinked, marked .bad, and recompiled — and
+    later wrappers must neither retry the load nor re-write the entry."""
+    import jax.experimental.serialize_executable as se
+
+    f = _toy_program()
+    x = jnp.ones((8, 8), jnp.float32)
+    want = float(np.asarray(aot_cache.AotCached(f, name="toy")(x, jnp.int32(2))))
+    (entry,) = [p for p in aot_env.iterdir() if p.suffix == ".pkl"]
+
+    def fake_load(*a, **k):
+        def broken_executable(*args):
+            raise RuntimeError(
+                "NOT_FOUND: Buffer Definition Event: Function fusion.6 "
+                "not found"
+            )
+
+        return broken_executable
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(se, "deserialize_and_load", fake_load)
+        w2 = aot_cache.AotCached(f, name="toy")
+        with pytest.warns(UserWarning, match="failed to execute"):
+            got = float(np.asarray(w2(x, jnp.int32(2))))
+    assert got == want
+    assert w2.stats["disk_misses"] == 1 and w2.stats["disk_hits"] == 0
+    assert not entry.exists()  # poisoned entry removed
+    bad = entry.with_suffix(".bad")
+    assert bad.exists()  # ...and remembered
+    # the recompile must NOT have re-written the doomed entry
+    assert not entry.exists()
+
+    w3 = aot_cache.AotCached(f, name="toy")
+    assert float(np.asarray(w3(x, jnp.int32(2)))) == want
+    assert w3.stats["disk_misses"] == 1  # compiled; no load attempt
+    assert not entry.exists()  # still not re-written
+
+
+def test_cross_process_roundtrip(aot_env):
+    """TRUE fresh-process reload of the production fit program (the exact
+    BENCH_r03 crash scenario).  Two subprocesses fit the same corpus with the
+    disk cache on: the first writes the entry, the second reloads it.  On
+    this VM the reload is known to die at readback — verify-on-load must
+    turn that into an unlink+recompile, so BOTH processes exit 0 and agree
+    bit-for-bit.  (Passes either way if the runtime's reloads happen to
+    work: then the second process records a verified disk hit.)"""
+    import os
+    import subprocess
+    import sys
+
+    child = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "import numpy as np\n"
+        "import scipy.sparse as sp\n"
+        "from enstop_tpu import PLSA\n"
+        "X = sp.csr_matrix(np.random.RandomState(0)"
+        ".poisson(0.6, (40, 64)).astype(np.int64))\n"
+        "m = PLSA(n_components=3, n_iter=8, random_state=0).fit(X)\n"
+        "np.save(sys.argv[1], m.components_)\n"
+    )
+    env = dict(
+        os.environ,
+        ENSTOP_AOT_CACHE="1",
+        ENSTOP_AOT_DIR=str(aot_env),
+    )
+    env.pop("PYTHONPATH", None)  # breaks plugin registration in fresh procs
+    comps = []
+    for i in range(2):
+        out = aot_env / f"components_{i}.npy"
+        r = subprocess.run(
+            [sys.executable, "-c", child, str(out)],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        assert r.returncode == 0, (
+            f"fresh process {i} crashed (the BENCH_r03 failure mode):\n"
+            f"{r.stderr[-2000:]}"
+        )
+        comps.append(np.load(out))
+    np.testing.assert_array_equal(comps[0], comps[1])
 
 
 def test_fit_program_roundtrip_through_estimator(aot_env):
