@@ -102,7 +102,9 @@ def _device_responsive(budget_s=None):
     attempt = 0
     while True:
         attempt += 1
-        per_probe = min(150.0, max(30.0, deadline - time.time()))
+        # clamp to the REMAINING budget (a 30s floor could overshoot a small
+        # explicit budget by ~25s on the final attempt)
+        per_probe = max(1.0, min(150.0, deadline - time.time()))
         t0 = time.time()
         if _device_responsive_once(per_probe):
             print(f"# TPU relay responsive (probe {attempt}, "

@@ -52,8 +52,11 @@ def smooth_knn_dist(knn_dists, n_neighbors, n_iter=64):
 
     All rows run the binary search together (the per-row scalar loop cost
     ~1s of host time per ensemble fit on this throttled host); each row's
-    lo/hi/mid sequence is element-for-element the scalar algorithm's, so the
-    result is bit-identical to the per-row version."""
+    lo/hi/mid sequence matches the scalar algorithm's search, computed in
+    float64.  (Bit-equality to a float32 scalar loop is numpy-promotion-
+    dependent — a scalar version under legacy promotion keeps float32 for
+    float32 inputs — so the claim is "same search sequence at float64", not
+    an unconditional bit match.)"""
     target = np.log2(n_neighbors)
     D = np.asarray(knn_dists, np.float64)
     n = D.shape[0]

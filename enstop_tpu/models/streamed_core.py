@@ -376,7 +376,12 @@ def streamed_refit_core(
         sw = np.asarray(sample_weight, np.float32)
         w_blocks = [jnp.asarray(pad(sw[lo:hi])) for lo, hi in store.block_rows]
     else:
-        w_blocks = [jnp.ones((bh or (hi - lo),), jnp.float32)
+        # ones for the real rows, ZERO-padded like the weighted branch: the
+        # repo-wide invariant is "padding rows are absorbing = zero weight"
+        # (padded doc rows are never referenced by packed entries today, but
+        # a ones-weighted pad would silently matter if w ever entered a
+        # per-doc term)
+        w_blocks = [jnp.asarray(pad(np.ones(hi - lo, np.float32)))
                     for lo, hi in store.block_rows]
 
     n_iter = int(n_iter)

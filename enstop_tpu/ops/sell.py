@@ -566,7 +566,7 @@ def _bucket_doc_inputs(prep, segsum, p_z_given_d, sample_weight):
     return zd, w, n_pad
 
 
-def _fallback_to_chunks(prep, err):
+def _fallback_to_chunks(prep, err, first_use=True):
     """Repack a SELL corpus as Pallas chunks after a compile rejection.
 
     At extreme scale this environment's compiler can reject the SELL program
@@ -575,14 +575,27 @@ def _fallback_to_chunks(prep, err):
     later fit/refit on it (ensemble runs, fit_transform + transform) goes
     straight to chunks without re-paying the failed compile.
 
-    Only compiler/runtime failures trigger the fallback (XlaRuntimeError
-    subclasses RuntimeError); trace-time user errors (wrong shapes/dtypes
-    raise TypeError/ValueError) must surface unchanged — repacking a 19M-nnz
-    corpus to mask a shape bug would cost minutes and hide the real error."""
+    Only COMPILE-phase failures trigger the fallback; execution-phase
+    failures (e.g. transient relay death mid-run raises XlaRuntimeError, a
+    RuntimeError subclass) must surface unchanged — repacking a 19M-nnz
+    corpus and retrying on an equally-dead device would cost minutes and
+    mask the real error.  Two gates:
+
+    * ``first_use=False`` (this exact program has executed successfully
+      before in this process) — a compile rejection is impossible, so any
+      error is execution-phase: re-raise.
+    * known execution-phase message markers (result-readback failures).
+
+    Trace-time user errors (wrong shapes/dtypes raise TypeError/ValueError)
+    are excluded by the RuntimeError check as before."""
     import warnings
 
     if not isinstance(err, RuntimeError):
         return False
+    if not first_use:
+        return False  # program ran before: cannot be a compile rejection
+    if "Buffer Definition Event" in str(err):
+        return False  # result-readback failure, not a compile rejection
     if prep.kind != "sell" or prep.src is None:
         return False
     warnings.warn(
@@ -622,6 +635,8 @@ def sell_fit(
     :func:`_fallback_to_chunks`)."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
 
+    ctx = {"first_use": True}
+
     def attempt():
         zd_a, w_a, n_pad = _bucket_doc_inputs(
             prep, segsum, p_z_given_d, sample_weight)
@@ -630,11 +645,13 @@ def sell_fit(
             thresh_value=float(e_step_thresh) if thresholded else None,
             meta=prep.meta,
         )
+        ctx["first_use"] = not getattr(run, "_ran_ok", False)
         out = run(
             prep.dev, zd_a, jnp.asarray(p_w_given_z), w_a,
             jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
             jnp.int32(n_iter), jnp.int32(n_iter_per_test),
         )
+        run._ran_ok = True  # dispatched: later errors are execution-phase
         if n_pad != prep.n:
             out = (out[0][: prep.n],) + tuple(out[1:])
         return out
@@ -646,7 +663,7 @@ def sell_fit(
     try:
         return attempt()
     except Exception as err:
-        if not _fallback_to_chunks(prep, err):
+        if not _fallback_to_chunks(prep, err, ctx["first_use"]):
             raise
         return attempt()
 
@@ -666,6 +683,8 @@ def sell_refit(
     Falls back to the chunk layout on a compile rejection, like sell_fit."""
     thresholded = e_step_thresh is not None and e_step_thresh > THRESH_MATERIAL
 
+    ctx = {"first_use": True}
+
     def attempt():
         zd_a, w_a, n_pad = _bucket_doc_inputs(
             prep, segsum, p_z_given_d, sample_weight)
@@ -674,11 +693,13 @@ def sell_refit(
             thresh_value=float(e_step_thresh) if thresholded else None,
             meta=prep.meta,
         )
+        ctx["first_use"] = not getattr(run, "_ran_ok", False)
         out = run(
             prep.dev, zd_a, jnp.asarray(topics), w_a,
             jnp.float32(e_step_thresh or 0.0), jnp.float32(tolerance),
             jnp.int32(n_iter), jnp.int32(n_iter_per_test),
         )
+        run._ran_ok = True  # dispatched: later errors are execution-phase
         if n_pad != prep.n:
             out = (out[0][: prep.n],) + tuple(out[1:])
         return out
@@ -686,6 +707,6 @@ def sell_refit(
     try:
         return attempt()
     except Exception as err:
-        if not _fallback_to_chunks(prep, err):
+        if not _fallback_to_chunks(prep, err, ctx["first_use"]):
             raise
         return attempt()

@@ -515,6 +515,46 @@ def test_sell_user_errors_do_not_trigger_fallback(rng, monkeypatch):
     assert prep.kind == "sell"  # untouched: no repack happened
 
 
+def test_sell_execution_phase_errors_do_not_trigger_fallback(rng):
+    """Execution-phase failures must NOT repack (ADVICE r03): a transient
+    relay death mid-run raises XlaRuntimeError (a RuntimeError subclass),
+    and repacking a 19M-nnz corpus to retry on an equally-dead device would
+    cost minutes and mask the real failure.  Two gates: a program that has
+    already executed cannot hit a compile rejection (first_use=False), and
+    result-readback failure messages are recognized."""
+    import enstop_tpu.ops.sell as sell_mod
+    from enstop_tpu.ops.init import plsa_init
+
+    X = sp.csr_matrix(make_corpus(rng, n_docs=30, n_words=40, seed=11))
+    prep = sell_mod.prepare_sell(X, standardize=False)
+    pzd0, pwz0 = plsa_init(X, 3, rng=np.random.RandomState(0))
+
+    # gate 1: after a successful fit the program is marked as having run,
+    # so a later RuntimeError is classified execution-phase -> no repack
+    sell_mod.sell_fit(prep, pzd0, pwz0, n_iter=4)
+    run = sell_mod._build_sell_fit(
+        False, False, "scatter", sell_mod._dev_struct(prep.dev),
+        kind=prep.kind, thresh_value=None, meta=prep.meta)
+    assert getattr(run, "_ran_ok", False) is True
+    assert not sell_mod._fallback_to_chunks(
+        prep, RuntimeError("socket closed"), first_use=False)
+    assert prep.kind == "sell"  # untouched
+
+    # gate 2: readback failures are execution-phase even on first use
+    assert not sell_mod._fallback_to_chunks(
+        prep,
+        RuntimeError("NOT_FOUND: Buffer Definition Event: Function "
+                     "fusion.6 not found"),
+        first_use=True)
+    assert prep.kind == "sell"
+
+    # sanity: a genuine first-use compile rejection still falls back
+    assert sell_mod._fallback_to_chunks(
+        prep, RuntimeError("remote compile failed (HTTP 500)"),
+        first_use=True)
+    assert prep.kind == "chunks"
+
+
 def test_sell_src_stays_pinned_after_successful_fit(rng):
     """The host corpus pin must SURVIVE a successful fit: a later call on
     the same prepared corpus with a different k / threshold / refit is a
