@@ -38,13 +38,20 @@ import scipy.sparse as sp
 import enstop_tpu  # enables the persistent compilation cache
 from enstop_tpu import PLSA
 assert jax.config.jax_compilation_cache_dir, "persistent cache not enabled"
+# cache EVERY program (the library default only caches >=1s compiles, which
+# a small CPU fit can dodge -- that would make this probe vacuous)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 X = sp.csr_matrix(np.random.RandomState(0).poisson(0.6, (64, 96)).astype(np.int64))
 m = PLSA(n_components=4, n_iter=10, random_state=0).fit(X)
 emb = np.asarray(m.embedding_)  # full host readback — the failing step in the
 comp = np.asarray(m.components_)  # serialize_executable repro
 assert np.isfinite(emb).all() and np.isfinite(comp).all()
 np.save(sys.argv[1], comp)
-print("child ok")
+import os
+cdir = jax.config.jax_compilation_cache_dir
+n_entries = sum(len(fs) for _, _, fs in os.walk(cdir)) if os.path.isdir(cdir) else 0
+print("child ok; cache entries now:", n_entries)
 """
 
 
@@ -75,8 +82,10 @@ def main():
             hits = [ln for ln in r.stderr.splitlines()
                     if "cpu_aot_loader" in ln or "persistent cache" in ln.lower()]
             cache_lines.append(len(hits))
+            entries = [ln for ln in r.stdout.splitlines()
+                       if "cache entries now" in ln]
             print(f"# run {i}: rc={r.returncode}, cache-related stderr "
-                  f"lines={len(hits)}", file=sys.stderr, flush=True)
+                  f"lines={len(hits)}, {entries}", file=sys.stderr, flush=True)
             if r.returncode != 0:
                 print(r.stderr[-2000:], file=sys.stderr)
             else:
