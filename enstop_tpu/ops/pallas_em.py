@@ -67,11 +67,18 @@ def _interpret():
 
 
 def _env_kernel_variant():
+    """Tri-state env override: ``None`` (unset — the measured table decides,
+    see :func:`_measured_variant`), ``"shipped"`` (explicitly force the
+    shipped i-outer kernel, bypassing the table), or a validated variant
+    name.  The env switch is an OVERRIDE; auto-selection is the default
+    (VERDICT r03 item 3)."""
     import os
 
     v = os.environ.get("ENSTOP_EM_KERNEL", "").strip().lower()
-    if not v or v in ("default", "shipped"):
+    if not v:
         return None
+    if v in ("default", "shipped"):
+        return "shipped"
     from .pallas_em_variants import VARIANTS
 
     if v not in VARIANTS:
@@ -79,6 +86,34 @@ def _env_kernel_variant():
             f"ENSTOP_EM_KERNEL={v!r} unknown (choose from {VARIANTS})"
         )
     return v
+
+
+def _measured_variant(k):
+    """Measured-best grid layout for this k on the real device, or ``None``
+    for the shipped kernel.  Only consults the hardware-measured table
+    (enstop_tpu/data/kernel_measured.json, written by
+    scripts/exp_kernel_v3.py) — predictions never pick the default.
+    Interpret-mode execution keeps the deterministic alias-free routing
+    below instead."""
+    if _interpret():
+        return None
+    from .kernel_select import measured_best_variant
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    return measured_best_variant(int(k), kind)
+
+
+def _resolve_variant(k):
+    """env override > measured table > shipped (None)."""
+    v = _env_kernel_variant()
+    if v == "shipped":
+        return None
+    if v is not None:
+        return v
+    return _measured_variant(k)
 
 
 def _resolve_precision(precision):
@@ -259,12 +294,13 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    variant = _env_kernel_variant()
+    variant = _resolve_variant(p_z_given_d.shape[1])
     if variant:
-        # Opt-in experimental grid layout (ENSTOP_EM_KERNEL=jo|jo_resident|
-        # jo_res_bf16r) — lets bench.py / the TPU queue measure a candidate
-        # through the PRODUCTION fit programs with no code change.  Read at
-        # trace time: set it before the first fit of the process.
+        # Grid-layout variant: either the ENSTOP_EM_KERNEL override (lets
+        # bench.py / the TPU queue measure a candidate through the
+        # PRODUCTION fit programs with no code change; read at trace time)
+        # or the measured-best auto-selection for this k
+        # (enstop_tpu/data/kernel_measured.json).
         from .pallas_em_variants import em_accumulators_variant
 
         if variant == "jo" and _interpret():
@@ -348,12 +384,13 @@ def refit_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, b
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    if _env_kernel_variant():
+    refit_variant = _resolve_variant(p_z_given_d.shape[1])
+    if refit_variant:
         from .pallas_em_variants import refit_accumulator_variant
 
         b_acc, ll = refit_accumulator_variant(
             X, p_z_given_d, p_w_given_z, sample_weight=sample_weight,
-            variant=_env_kernel_variant(), bd=bd, bw=bw,
+            variant=refit_variant, bd=bd, bw=bw,
             compute_ll=compute_ll, precision=precision,
         )
     else:

@@ -138,6 +138,47 @@ def main():
 
     print({"per_iter_ms": results, "bd": bd, "bw": bw,
            "shape": (n_pad, m_pad)})
+
+    # persist the sweep as the measured auto-selection table consumed by
+    # ops/kernel_select.py — em_accumulators_fused/refit_step_fused pick the
+    # measured-best layout per k from it on the real device (VERDICT r03
+    # item 3: only numbers may displace the shipped default, never the
+    # traffic-analysis prediction)
+    if jax.default_backend() == "tpu":
+        import json
+        import os
+
+        entries = []
+        for k in (20, 100, 200):
+            times = {}
+            for name in ["shipped"] + list(VARIANTS):
+                v = results.get(f"k{k}/{name}")
+                if v is not None:
+                    times[name] = round(v, 4)
+            if "shipped" in times:
+                entries.append({
+                    "k": k,
+                    "best": min(times, key=times.get),
+                    "per_iter_ms": times,
+                })
+        table = {
+            "device_kind": jax.devices()[0].device_kind,
+            "date": time.strftime("%Y-%m-%d"),
+            "source": "scripts/exp_kernel_v3.py sweep at 20NG shape "
+                      f"({n_pad}x{m_pad}, bd={bd}, bw={bw}, best-of-3 x "
+                      f"{N_STEPS}-iter loops)",
+            "entries": entries,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "enstop_tpu", "data",
+            "kernel_measured.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(table, fh, indent=1)
+        print(f"# wrote measured table -> {path}", file=sys.stderr)
+    else:
+        print("# not a tpu backend: measured table NOT written",
+              file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,93 @@
+"""Measured-table EM-kernel layout auto-selection (ops/kernel_select.py).
+
+VERDICT r03 item 3: the default layout must be the MEASURED best per k
+(table written by scripts/exp_kernel_v3.py on hardware), with
+ENSTOP_EM_KERNEL demoted to an override.  Off-TPU (this suite) the table
+must never apply — interpret-mode execution keeps the deterministic
+alias-free routing in pallas_em.
+"""
+
+import json
+
+import pytest
+
+from enstop_tpu.ops import kernel_select
+from enstop_tpu.ops.pallas_em import _resolve_variant
+
+
+@pytest.fixture
+def table(tmp_path, monkeypatch):
+    def write(entries, device_kind="TPU v5e"):
+        p = tmp_path / "kernel_measured.json"
+        p.write_text(json.dumps({"device_kind": device_kind,
+                                 "entries": entries}))
+        monkeypatch.setenv("ENSTOP_KERNEL_TABLE", str(p))
+        kernel_select.clear_cache()
+        return p
+
+    yield write
+    kernel_select.clear_cache()
+
+
+ENTRIES = [
+    {"k": 20, "best": "shipped",
+     "per_iter_ms": {"shipped": 3.0, "jo": 3.1, "jo_resident": 3.05}},
+    {"k": 100, "best": "jo_resident",
+     "per_iter_ms": {"shipped": 12.0, "jo": 10.1, "jo_resident": 9.5}},
+    {"k": 200, "best": "jo",
+     "per_iter_ms": {"shipped": 30.0, "jo": 22.0, "jo_resident": 23.0}},
+]
+
+
+def test_measured_best_by_nearest_k(table):
+    table(ENTRIES)
+    f = kernel_select.measured_best_variant
+    assert f(20, "TPU v5e") is None            # shipped won at k=20
+    assert f(8, "TPU v5e") is None             # nearest is k=20
+    assert f(100, "TPU v5e") == "jo_resident"
+    assert f(64, "TPU v5e") == "jo_resident"   # log-nearest is 100 (not 20)
+    assert f(200, "TPU v5e") == "jo"
+    assert f(1000, "TPU v5e") == "jo"          # extrapolates to nearest
+
+
+def test_win_margin_keeps_shipped_on_ties(table):
+    table([{"k": 50, "best": "jo",
+            "per_iter_ms": {"shipped": 10.0, "jo": 9.9}}])  # <2% win
+    assert kernel_select.measured_best_variant(50, "TPU v5e") is None
+
+
+def test_no_table_or_wrong_device_is_shipped(table):
+    assert kernel_select.measured_best_variant(100, "TPU v5e") is None
+    table(ENTRIES, device_kind="TPU v4")
+    assert kernel_select.measured_best_variant(100, "TPU v5e") is None
+    assert kernel_select.measured_best_variant(100, None) is None
+
+
+def test_resolve_variant_off_tpu_ignores_table(table, monkeypatch):
+    """This suite runs on CPU: even with a winning table the resolver must
+    return None (interpret-mode keeps pallas_em's alias-free routing)."""
+    table(ENTRIES)
+    monkeypatch.delenv("ENSTOP_EM_KERNEL", raising=False)
+    assert _resolve_variant(100) is None
+
+
+def test_env_override_beats_table(table, monkeypatch):
+    table(ENTRIES)
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "jo_res_bf16r")
+    assert _resolve_variant(100) == "jo_res_bf16r"
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "shipped")
+    assert _resolve_variant(100) is None
+    monkeypatch.setenv("ENSTOP_EM_KERNEL", "bogus")
+    with pytest.raises(ValueError):
+        _resolve_variant(100)
+
+
+def test_corrupt_table_is_shipped(tmp_path, monkeypatch):
+    p = tmp_path / "bad.json"
+    p.write_text("{not json")
+    monkeypatch.setenv("ENSTOP_KERNEL_TABLE", str(p))
+    kernel_select.clear_cache()
+    try:
+        assert kernel_select.measured_best_variant(100, "TPU v5e") is None
+    finally:
+        kernel_select.clear_cache()
