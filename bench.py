@@ -159,9 +159,29 @@ def main():
             "device backend unresponsive after full probe budget",
         )
 
+    # Watchdog: the relay can die MID-RUN, after which every device op hangs
+    # forever without raising — the retry ladder below only sees exceptions,
+    # so convert a hang into one.  SIGALRM fires in the main thread (device
+    # RPCs release the GIL); generous default budget because a single remote
+    # compile alone has measured 10+ minutes.  Canceled on success.
+    import signal
+
+    watchdog_s = int(os.environ.get("ENSTOP_BENCH_WATCHDOG_S", "2700"))
+    if jax.default_backend() != "cpu" and watchdog_s > 0:
+        def _expired(signum, frame):
+            raise TimeoutError(
+                f"bench watchdog expired after {watchdog_s}s "
+                "(device op hung — relay died mid-run?)"
+            )
+
+        signal.signal(signal.SIGALRM, _expired)
+        signal.alarm(watchdog_s)
+
     try:
         _bench_body()
+        signal.alarm(0)
     except BaseException as e:
+        signal.alarm(0)
         if isinstance(e, (KeyboardInterrupt, SystemExit)):
             raise
         import traceback
