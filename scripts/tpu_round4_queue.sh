@@ -74,4 +74,12 @@ ENSTOP_EM_KERNEL=jo_resident step ensemble_jores python scripts/bench_ensemble_e
 # 10. sparse-path table refresh (configs A/B/D) under the bucketed padding
 step sparse_bench python scripts/bench_sparse.py
 
+# 11. persist the measured kernel table if the sweep wrote one (targeted
+#     path-only commit: safe even with unrelated working-tree changes)
+if [ -f enstop_tpu/data/kernel_measured.json ]; then
+  git add enstop_tpu/data/kernel_measured.json
+  git commit -m "Measured EM-kernel layout table from the live-relay sweep (exp_kernel_v3)" \
+    -- enstop_tpu/data/kernel_measured.json || true
+fi
+
 echo "=== queue complete $(date +%T) ==="
