@@ -28,13 +28,16 @@ def round_up(x: int, multiple: int) -> int:
     return -(-int(x) // int(multiple)) * int(multiple)
 
 
-def pad_dense_counts(X, row_multiple=8, col_multiple=128, dtype=np.float32):
+def pad_dense_counts(X, row_multiple=8, col_multiple=128, dtype=np.float32,
+                     min_rows=1):
     """Densify a (sparse or dense) count matrix into a zero-padded numpy array.
 
     Returns ``(dense, n, m)`` with ``dense.shape = (round_up(n), round_up(m))``.
+    ``min_rows`` lets callers pad to a coarser row target (shape bucketing for
+    compiled-program reuse); the extra rows are absorbing zeros.
     """
     n, m = X.shape
-    np_ = round_up(max(n, 1), row_multiple)
+    np_ = round_up(max(n, 1, int(min_rows)), row_multiple)
     mp_ = round_up(max(m, 1), col_multiple)
     out = np.zeros((np_, mp_), dtype=dtype)
     if issparse(X):

@@ -219,19 +219,31 @@ def _device_densify_worthwhile(X, n_pad, m_pad, x_dtype):
     return coo_bytes * 8 < dense_bytes
 
 
-def _stage_dense(X, backend, x_dtype, stage="auto"):
+def _stage_dense(X, backend, x_dtype, stage="auto", row_bucket=False):
     """Densify + pad + ship once.  ``stage="auto"`` ships sparse corpora as
     COO nonzeros and densifies ON DEVICE (O(nnz) H2D instead of the full
     rectangle); ``"host"`` forces the native host densify + dense transfer;
-    ``"device"`` forces the scatter path."""
+    ``"device"`` forces the scatter path.
+
+    ``row_bucket=True`` pads rows to the shared coarse buckets
+    (``ops/sell.py:_bucket_rows``, <=~6% absorbing zero rows) so
+    similar-sized inputs share one compiled program — used by the refit
+    (serving ``transform``) path, where batch sizes vary request-to-request
+    and every distinct padded shape costs a fresh compile.  The fit path
+    keeps exact tile-multiple padding (one corpus, headline throughput)."""
     from scipy.sparse import issparse
 
     from .data import round_up
 
     rm, cm = _layout_multiples(backend, *X.shape)
     n, m = X.shape
+    n_tgt = n
+    if row_bucket:
+        from .sell import _bucket_rows
+
+        n_tgt = _bucket_rows(max(n, 1))
     if stage != "host" and issparse(X):
-        n_pad = round_up(max(n, 1), rm)
+        n_pad = round_up(max(n_tgt, 1), rm)
         m_pad = round_up(max(m, 1), cm)
         if stage == "device" or _device_densify_worthwhile(X, n_pad, m_pad, x_dtype):
             return (
@@ -242,12 +254,12 @@ def _stage_dense(X, backend, x_dtype, stage="auto"):
 
         from ..native import densify_csr_rows_bf16
 
-        out = np.zeros((round_up(max(n, 1), rm), round_up(max(m, 1), cm)),
+        out = np.zeros((round_up(max(n_tgt, 1), rm), round_up(max(m, 1), cm)),
                        np.uint16)
         densify_csr_rows_bf16(X.tocsr(), 0, n, out)
         return jax.device_put(out.view(ml_dtypes.bfloat16)), n, m
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm,
-                                dtype=np.float32)
+                                dtype=np.float32, min_rows=n_tgt)
     if _is_bf16(x_dtype):
         import ml_dtypes
 
@@ -524,7 +536,10 @@ def plsa_refit(
     else:
         backend = resolve_backend(backend)
         x_dtype = _resolve_x_dtype(X, x_dtype)
-        Xd, n, m = _stage_dense(X, backend, x_dtype)
+        # serving path: bucket the row padding so transform batches of
+        # similar (or zero-row-stripped) sizes share ONE compiled refit
+        # program instead of one per distinct padded height
+        Xd, n, m = _stage_dense(X, backend, x_dtype, row_bucket=True)
     zd, wz = pad_factors(p_z_given_d, np.asarray(topics, dtype=np.float32), Xd.shape[0], Xd.shape[1])
 
     weighted = sample_weight is not None and bool(np.any(np.asarray(sample_weight) != 1.0))

@@ -47,6 +47,64 @@ def test_distinct_similar_corpora_share_one_sparse_fit_program():
     assert len(fit_compiles) == 1, fit_compiles
 
 
+def test_dense_transform_batches_share_one_refit_program():
+    """Serving on the DENSE path (round-4): transform batches of varying
+    sizes within one row bucket — including sizes that differ after
+    zero-row stripping — must compile the refit program exactly once.
+    Before row-bucketing the dense staging, every distinct padded height
+    was its own program (6 batches = 6 remote compiles)."""
+    import logging
+
+    import scipy.sparse as sp
+
+    from enstop_tpu import PLSA
+
+    X = sp.random(2600, 300, density=0.05,
+                  random_state=np.random.RandomState(3), format="csr")
+    X.data = np.ceil(X.data * 3).astype(np.float32)
+    X = sp.csr_matrix(X)
+    model = PLSA(n_components=4, n_iter=6, random_state=0).fit(X)
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(handler)
+    old = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    try:
+        outs = []
+        for i, s in enumerate([900, 1000, 960, 1015]):
+            lo = (i * 37) % (X.shape[0] - s)
+            outs.append(model.transform(X[lo:lo + s]))
+    finally:
+        jax.config.update("jax_log_compiles", old)
+        logger.removeHandler(handler)
+    refit_compiles = [r for r in records if "jit(run)" in r]
+    assert len(refit_compiles) == 1, refit_compiles
+    for out, s in zip(outs, [900, 1000, 960, 1015]):
+        assert out.shape == (s, 4)
+        assert np.isfinite(out).all()
+
+
+def test_dense_refit_bucketing_is_trajectory_invariant():
+    """The bucketed absorbing rows must not change the refit result: same
+    batch refit through plsa_refit (bucketed staging) == refit through a
+    PreparedCounts staged exactly (no bucketing)."""
+    import scipy.sparse as sp
+
+    from enstop_tpu.ops.driver import plsa_refit, prepare_counts
+
+    rng = np.random.RandomState(5)
+    X = sp.csr_matrix(rng.poisson(0.4, (700, 256)).astype(np.int64))
+    topics = rng.rand(3, 256).astype(np.float32)
+    topics /= topics.sum(1, keepdims=True)
+
+    emb_bucketed = plsa_refit(X, topics, n_iter=6, random_state=7)
+    emb_exact = plsa_refit(prepare_counts(X), topics, n_iter=6, random_state=7)
+    np.testing.assert_array_equal(emb_bucketed, emb_exact)
+
+
 def test_sharded_program_builders_are_cached():
     m = mesh_mod.make_mesh(4, 2)
     assert mesh_mod.build_sharded_em_step(m, inner="xla") is (
