@@ -36,18 +36,27 @@ def _inner_kind(backend):
     return "pallas" if resolve_backend(backend) == "pallas" else "xla"
 
 
-def _stage_on_mesh(X, mesh, inner):
+def _stage_on_mesh(X, mesh, inner, row_bucket=False):
     """Sparse corpora ship as per-tile COO and densify on device (host and
-    H2D stay O(nnz)); dense array inputs take the padded host path."""
+    H2D stay O(nnz)); dense array inputs take the padded host path.
+    ``row_bucket=True`` (the transform/serving path) pads docs to coarse
+    shared buckets so similar batch sizes reuse one compiled program."""
     from scipy.sparse import issparse
 
     if issparse(X):
-        return mesh_lib.stage_sharded_counts(mesh, X, inner=inner)
+        return mesh_lib.stage_sharded_counts(mesh, X, inner=inner,
+                                             row_bucket=row_bucket)
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rm, cm = mesh_lib.mesh_layout_multiples(mesh, inner)
-    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm)
+    min_rows = 1
+    if row_bucket:
+        from ..ops.sell import _bucket_rows
+
+        min_rows = _bucket_rows(max(X.shape[0], 1))
+    Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm,
+                                min_rows=min_rows)
     Xs = jax.device_put(Xd, NamedSharding(mesh, P("docs", "vocab")))
     return Xs, n, m
 
@@ -109,7 +118,7 @@ def _refit_on_mesh(X, topics, mesh, inner, n_iter=50, n_iter_per_test=5,
     pzd0 = rng.rand(X.shape[0], k)
     pzd0 /= pzd0.sum(axis=1, keepdims=True)
 
-    Xs, n, m = _stage_on_mesh(X, mesh, inner)
+    Xs, n, m = _stage_on_mesh(X, mesh, inner, row_bucket=True)
     n_pad, m_pad = Xs.shape
     zd, wz = pad_factors(
         pzd0.astype(np.float32), np.asarray(topics, np.float32), n_pad, m_pad

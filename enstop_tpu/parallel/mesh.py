@@ -315,7 +315,8 @@ def _densify_fn(mesh, tr, tc, L, out_bf16):
     return densify
 
 
-def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
+def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32,
+                         row_bucket=False):
     """Ship a sparse corpus as per-tile COO nonzeros and densify ON DEVICE
     under ``shard_map`` — the dense padded rectangle never exists on the host
     and never crosses the link (host memory and H2D are O(nnz); the reference
@@ -324,6 +325,12 @@ def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
 
     Returns ``(Xs, n, m)`` with ``Xs`` sharded ``P("docs", "vocab")`` exactly
     as :func:`shard_inputs` would produce from the dense host path.
+
+    ``row_bucket=True`` pads the doc dimension to the shared coarse buckets
+    (``ops/sell.py:_bucket_rows``) so mesh ``transform`` batches of similar
+    sizes share ONE compiled sharded refit program (and one densify
+    program) instead of recompiling per padded height; the extra rows are
+    absorbing zero tiles.
     """
     from scipy.sparse import issparse, csr_matrix
 
@@ -334,8 +341,13 @@ def stage_sharded_counts(mesh, X, inner="xla", x_dtype=np.float32):
     Xc = X.tocsr()
     Xc.sum_duplicates()
     n, m = Xc.shape
+    n_tgt = n
+    if row_bucket:
+        from ..ops.sell import _bucket_rows
+
+        n_tgt = _bucket_rows(max(n, 1))
     rm, cm = mesh_layout_multiples(mesh, inner)
-    n_pad, m_pad = round_up(max(n, 1), rm), round_up(max(m, 1), cm)
+    n_pad, m_pad = round_up(max(n_tgt, 1), rm), round_up(max(m, 1), cm)
     R, C = mesh.shape["docs"], mesh.shape["vocab"]
     tr, tc = n_pad // R, m_pad // C
 

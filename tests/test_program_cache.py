@@ -105,6 +105,81 @@ def test_dense_refit_bucketing_is_trajectory_invariant():
     np.testing.assert_array_equal(emb_bucketed, emb_exact)
 
 
+def test_mesh_transform_batches_share_one_refit_program():
+    """Round-4: the MESH transform path buckets its padded doc height too —
+    varying serving batch sizes must reuse one compiled sharded refit
+    program (and one per-tile densify program)."""
+    import logging
+
+    import scipy.sparse as sp
+
+    from enstop_tpu import DistributedPLSA
+
+    X = sp.random(2600, 300, density=0.05,
+                  random_state=np.random.RandomState(4), format="csr")
+    X.data = np.ceil(X.data * 3).astype(np.float32)
+    X = sp.csr_matrix(X)
+    model = DistributedPLSA(n_components=4, n_iter=6, random_state=0).fit(X)
+
+    # the sharded refit program may already be compiled by earlier tests on
+    # the same (cached) mesh — drop it so the count below is exactly "one
+    # compile for the first batch, zero for the rest"
+    mesh_mod._sharded_fit_program.cache_clear()
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(handler)
+    old = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    try:
+        outs = []
+        for i, s in enumerate([900, 1000, 960, 1015]):
+            lo = (i * 37) % (X.shape[0] - s)
+            outs.append(model.transform(X[lo:lo + s]))
+    finally:
+        jax.config.update("jax_log_compiles", old)
+        logger.removeHandler(handler)
+    refit_compiles = [r for r in records if "jit(run_inner)" in r]
+    assert len(refit_compiles) == 1, refit_compiles
+    for out, s in zip(outs, [900, 1000, 960, 1015]):
+        assert out.shape == (s, 4)
+        assert np.isfinite(out).all()
+
+
+def test_mesh_refit_bucketing_is_trajectory_invariant():
+    """Bucketed mesh refit == unbucketed mesh refit on the same batch."""
+    import scipy.sparse as sp
+
+    from enstop_tpu.models.mesh import _refit_on_mesh, _stage_on_mesh
+
+    rng = np.random.RandomState(6)
+    X = sp.csr_matrix(rng.poisson(0.4, (700, 256)).astype(np.int64))
+    topics = rng.rand(3, 256).astype(np.float32)
+    topics /= topics.sum(1, keepdims=True)
+    msh = mesh_mod.make_mesh(4, 2)
+
+    emb_bucketed = _refit_on_mesh(X, topics, msh, "xla", n_iter=6,
+                                  random_state=7)
+
+    # hand-staged exact (unbucketed) refit with the identical init draw
+    import jax.numpy as jnp
+
+    from enstop_tpu.ops.data import pad_factors
+
+    rng2 = np.random.RandomState(7)
+    pzd0 = rng2.rand(X.shape[0], 3)
+    pzd0 /= pzd0.sum(axis=1, keepdims=True)
+    Xs, n, m = _stage_on_mesh(X, msh, "xla", row_bucket=False)
+    zd, wz = pad_factors(pzd0.astype(np.float32), topics, *Xs.shape)
+    w = np.ones(Xs.shape[0], np.float32)
+    zds, wzs, ws = mesh_mod.shard_factors(msh, zd, wz, w)
+    run = mesh_mod.build_sharded_fit(msh, "xla", False, 6, 5, refit=True)
+    emb_exact = np.asarray(run(Xs, zds, wzs, ws, jnp.float32(0.001))[0])[:n, :3]
+    np.testing.assert_array_equal(emb_bucketed, emb_exact)
+
+
 def test_sharded_program_builders_are_cached():
     m = mesh_mod.make_mesh(4, 2)
     assert mesh_mod.build_sharded_em_step(m, inner="xla") is (
