@@ -235,13 +235,16 @@ def _stage_dense(X, backend, x_dtype, stage="auto", row_bucket=False):
 
     from .data import round_up
 
-    rm, cm = _layout_multiples(backend, *X.shape)
     n, m = X.shape
     n_tgt = n
     if row_bucket:
         from .sell import _bucket_rows
 
         n_tgt = _bucket_rows(max(n, 1))
+    # layout multiples from the BUCKETED height: the pallas tile height is
+    # n-derived below 512 rows, so deriving it from the raw batch size would
+    # re-fragment small serving batches onto per-size programs
+    rm, cm = _layout_multiples(backend, n_tgt, m)
     if stage != "host" and issparse(X):
         n_pad = round_up(max(n_tgt, 1), rm)
         m_pad = round_up(max(m, 1), cm)
