@@ -322,7 +322,7 @@ def _resolve_x_dtype(X, x_dtype, will_standardize=True):
 
 
 def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True,
-                   stage="auto"):
+                   stage="auto", row_bucket=False):
     """Densify, pad, and ship a count matrix to the device once.
 
     ``x_dtype``: ``"auto"`` (default) stores the device copy in bf16 exactly
@@ -334,6 +334,16 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True,
     ``stage``: ``"auto"`` (default) ships sparse corpora as O(nnz) COO bytes
     and densifies on device (the full-rectangle H2D is the staging bottleneck);
     ``"host"``/``"device"`` force a path.
+
+    ``row_bucket=True`` pads rows to coarse shared buckets (<=~6% absorbing
+    zero rows) so repeated fits on similar-sized corpora — sliding windows,
+    per-tenant shards — share one compiled fit program instead of one per
+    exact padded height.  The padding is mathematically absorbing; fits
+    agree to f32 summation-order rounding (ULP-level — the P(w|z)
+    accumulator's row reduction tree changes with padded length), while
+    refits are bit-identical (row-local updates).  The small rectangle
+    growth costs proportionally per iteration, hence opt-in for fits
+    (``transform``/refit staging buckets unconditionally).
     """
     from ..utils import standardize_input
 
@@ -345,7 +355,8 @@ def prepare_counts(X, backend="auto", x_dtype="auto", standardize=True,
         # instead fits raw float32 counts (enstop_.py:527) and passes
         # standardize=False.
         X = standardize_input(X)
-    dev, n, m = _stage_dense(X, backend, x_dtype, stage=stage)
+    dev, n, m = _stage_dense(X, backend, x_dtype, stage=stage,
+                             row_bucket=row_bucket)
     return PreparedCounts(dev, n, m, _nnz_of(X), backend)
 
 

@@ -105,6 +105,33 @@ def test_dense_refit_bucketing_is_trajectory_invariant():
     np.testing.assert_array_equal(emb_bucketed, emb_exact)
 
 
+def test_prepare_counts_row_bucket_shares_shapes_ulp_equal_fit():
+    """Opt-in fit bucketing: similar-sized corpora prepared with
+    row_bucket=True land on one device-array shape (one fit program), and
+    the bucketed fit agrees with the exact-padded fit to f32
+    summation-order rounding (the column-reduction tree changes with padded
+    length, so bit-equality is not expected — refits ARE bit-equal, see the
+    trajectory-invariance tests)."""
+    import scipy.sparse as sp
+
+    from enstop_tpu.ops.driver import plsa_fit, prepare_counts
+
+    X1 = sp.csr_matrix(np.random.RandomState(0).poisson(0.5, (900, 256))
+                       .astype(np.int64))
+    X2 = sp.csr_matrix(np.random.RandomState(1).poisson(0.5, (1000, 256))
+                       .astype(np.int64))
+    p1 = prepare_counts(X1, row_bucket=True)
+    p2 = prepare_counts(X2, row_bucket=True)
+    assert p1.device_array.shape == p2.device_array.shape
+    assert (p1.n, p2.n) == (900, 1000)  # logical sizes preserved
+
+    zd_b, wz_b = plsa_fit(p1, 3, n_iter=8, random_state=0)
+    zd_e, wz_e = plsa_fit(X1, 3, n_iter=8, random_state=0)
+    assert zd_b.shape == zd_e.shape == (900, 3)
+    np.testing.assert_allclose(wz_b, wz_e, rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(zd_b, zd_e, rtol=1e-4, atol=1e-7)
+
+
 def test_mesh_transform_batches_share_one_refit_program():
     """Round-4: the MESH transform path buckets its padded doc height too —
     varying serving batch sizes must reuse one compiled sharded refit
