@@ -159,29 +159,44 @@ def main():
             "device backend unresponsive after full probe budget",
         )
 
-    # Watchdog: the relay can die MID-RUN, after which every device op hangs
-    # forever without raising — the retry ladder below only sees exceptions,
-    # so convert a hang into one.  SIGALRM fires in the main thread (device
-    # RPCs release the GIL); generous default budget because a single remote
-    # compile alone has measured 10+ minutes.  Canceled on success.
-    import signal
+    # Watchdog: the relay can die MID-RUN (or between the subprocess probe
+    # and the first in-process device touch), after which every device op —
+    # including backend INITIALIZATION — blocks forever inside a C-level
+    # wait.  A signal handler cannot fire there (CPython only runs handlers
+    # between bytecodes), so the watchdog is a daemon THREAD that, on
+    # deadline, re-execs this process down the same retry ladder
+    # (exec replaces all threads, hung or not).  Armed BEFORE any in-process
+    # jax/backend touch; generous default budget because a single remote
+    # compile alone has measured 10+ minutes.
+    import threading
 
-    watchdog_s = int(os.environ.get("ENSTOP_BENCH_WATCHDOG_S", "2700"))
-    if jax.default_backend() != "cpu" and watchdog_s > 0:
-        def _expired(signum, frame):
-            raise TimeoutError(
-                f"bench watchdog expired after {watchdog_s}s "
-                "(device op hung — relay died mid-run?)"
-            )
+    watchdog_s = float(os.environ.get("ENSTOP_BENCH_WATCHDOG_S", "2700"))
+    done = threading.Event()
+    cache_on_now = os.environ.get("ENSTOP_AOT_CACHE", "0").strip().lower() \
+        not in ("0", "off", "false", "")
 
-        signal.signal(signal.SIGALRM, _expired)
-        signal.alarm(watchdog_s)
+    def _watchdog():
+        if done.wait(watchdog_s):
+            return
+        print(f"# bench watchdog expired after {watchdog_s:.0f}s (device op "
+              "hung — relay died mid-run?)", file=sys.stderr, flush=True)
+        if cache_on_now:
+            _reexec({"ENSTOP_AOT_CACHE": "0"}, "watchdog expiry; retry "
+                    "with the AOT cache off")
+        _reexec(
+            {"ENSTOP_BENCH_FORCE_CPU": "1", "ENSTOP_AOT_CACHE": "0",
+             "ENSTOP_BENCH_FALLBACK_REASON":
+                 f"tpu bench hung past the {watchdog_s:.0f}s watchdog"},
+            "watchdog expiry; retry on CPU")
+
+    if not os.environ.get("ENSTOP_BENCH_FORCE_CPU") and watchdog_s > 0:
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     try:
         _bench_body()
-        signal.alarm(0)
+        done.set()
     except BaseException as e:
-        signal.alarm(0)
+        done.set()
         if isinstance(e, (KeyboardInterrupt, SystemExit)):
             raise
         import traceback

@@ -245,9 +245,11 @@ def _stage_dense(X, backend, x_dtype, stage="auto", row_bucket=False):
     # n-derived below 512 rows, so deriving it from the raw batch size would
     # re-fragment small serving batches onto per-size programs
     rm, cm = _layout_multiples(backend, n_tgt, m)
+    # the ONE padded-shape computation — every staging branch below must use
+    # these, or the paths drift onto different compiled shapes
+    n_pad = round_up(max(n_tgt, 1), rm)
+    m_pad = round_up(max(m, 1), cm)
     if stage != "host" and issparse(X):
-        n_pad = round_up(max(n_tgt, 1), rm)
-        m_pad = round_up(max(m, 1), cm)
         if stage == "device" or _device_densify_worthwhile(X, n_pad, m_pad, x_dtype):
             return (
                 _stage_dense_via_device(X, n_pad, m_pad, n, m, x_dtype), n, m
@@ -257,12 +259,12 @@ def _stage_dense(X, backend, x_dtype, stage="auto", row_bucket=False):
 
         from ..native import densify_csr_rows_bf16
 
-        out = np.zeros((round_up(max(n_tgt, 1), rm), round_up(max(m, 1), cm)),
-                       np.uint16)
+        out = np.zeros((n_pad, m_pad), np.uint16)
         densify_csr_rows_bf16(X.tocsr(), 0, n, out)
         return jax.device_put(out.view(ml_dtypes.bfloat16)), n, m
     Xd, n, m = pad_dense_counts(X, row_multiple=rm, col_multiple=cm,
                                 dtype=np.float32, min_rows=n_tgt)
+    assert Xd.shape == (n_pad, m_pad)  # host path must match the other branches
     if _is_bf16(x_dtype):
         import ml_dtypes
 

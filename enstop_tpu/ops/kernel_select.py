@@ -58,10 +58,36 @@ def clear_cache():
     _load_table.cache_clear()
 
 
-def measured_best_variant(k: int, device_kind: str | None) -> str | None:
+# jo_resident / jo_res_bf16r hold the whole (n, kp) B accumulator in VMEM;
+# only auto-select them when it fits comfortably under the kernel's VMEM
+# budget (96 MB) alongside the tile buffers.  "jo" keeps B in HBM (aliased
+# RMW) and works at any n.
+_RESIDENT_B_BUDGET_BYTES = 64 * 1024 * 1024
+_RESIDENT_VARIANTS = ("jo_resident", "jo_res_bf16r")
+
+
+def _known_variants():
+    from .pallas_em_variants import VARIANTS
+
+    return set(VARIANTS)
+
+
+def _valid_k(v):
+    return (isinstance(v, (int, float)) and not isinstance(v, bool)
+            and v > 0 and math.isfinite(v))
+
+
+def measured_best_variant(k: int, device_kind: str | None,
+                          n: int | None = None) -> str | None:
     """The measured-best grid layout for ``k`` on this device, or ``None``
     for the shipped kernel.  ``device_kind`` is ``jax.devices()[0].device_kind``
-    of a real tpu backend (pass ``None`` off-TPU -> always shipped)."""
+    of a real tpu backend (pass ``None`` off-TPU -> always shipped).
+    ``n`` (padded doc count) gates the VMEM-resident layouts, whose B
+    accumulator is ``(n, kp)`` resident — at large n they fall back to the
+    next-best HBM-safe layout.
+
+    Degrades to ``None`` (shipped) on ANY malformed table content — a stale
+    or hand-edited table must never crash a fit."""
     if device_kind is None:
         return None
     table = _load_table()
@@ -70,18 +96,26 @@ def measured_best_variant(k: int, device_kind: str | None) -> str | None:
     measured_kind = table.get("device_kind", "")
     if measured_kind and measured_kind != device_kind:
         return None  # measured on different hardware: don't extrapolate
+    known = _known_variants() | {"shipped"}
     entries = [e for e in table["entries"]
-               if isinstance(e.get("k"), (int, float)) and e.get("per_iter_ms")]
+               if isinstance(e, dict) and _valid_k(e.get("k"))
+               and isinstance(e.get("per_iter_ms"), dict)]
     if not entries:
         return None
     nearest = min(entries, key=lambda e: abs(math.log(e["k"]) - math.log(max(k, 1))))
     times = {
         name: v for name, v in nearest["per_iter_ms"].items()
-        if isinstance(v, (int, float))
+        if name in known and isinstance(v, (int, float))
+        and not isinstance(v, bool) and v > 0 and math.isfinite(v)
     }
     shipped = times.get("shipped")
     if shipped is None:
         return None
+    kp = -(-max(int(k), 1) // 8) * 8
+    if n is not None:
+        for name in _RESIDENT_VARIANTS:
+            if name in times and int(n) * kp * 4 > _RESIDENT_B_BUDGET_BYTES:
+                del times[name]  # resident B would not fit VMEM at this n
     best_name = min(times, key=times.get)
     if best_name == "shipped" or times[best_name] > shipped * _WIN_MARGIN:
         return None

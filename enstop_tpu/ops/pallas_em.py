@@ -88,11 +88,12 @@ def _env_kernel_variant():
     return v
 
 
-def _measured_variant(k):
+def _measured_variant(k, n=None):
     """Measured-best grid layout for this k on the real device, or ``None``
     for the shipped kernel.  Only consults the hardware-measured table
     (enstop_tpu/data/kernel_measured.json, written by
     scripts/exp_kernel_v3.py) — predictions never pick the default.
+    ``n`` (padded doc rows) gates the VMEM-resident layouts at large n.
     Interpret-mode execution keeps the deterministic alias-free routing
     below instead."""
     if _interpret():
@@ -103,17 +104,17 @@ def _measured_variant(k):
         kind = jax.devices()[0].device_kind
     except Exception:
         return None
-    return measured_best_variant(int(k), kind)
+    return measured_best_variant(int(k), kind, n=n)
 
 
-def _resolve_variant(k):
+def _resolve_variant(k, n=None):
     """env override > measured table > shipped (None)."""
     v = _env_kernel_variant()
     if v == "shipped":
         return None
     if v is not None:
         return v
-    return _measured_variant(k)
+    return _measured_variant(k, n=n)
 
 
 def _resolve_precision(precision):
@@ -294,7 +295,7 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    variant = _resolve_variant(p_z_given_d.shape[1])
+    variant = _resolve_variant(p_z_given_d.shape[1], n=n)
     if variant:
         # Grid-layout variant: either the ENSTOP_EM_KERNEL override (lets
         # bench.py / the TPU queue measure a candidate through the
@@ -384,7 +385,7 @@ def refit_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, b
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    refit_variant = _resolve_variant(p_z_given_d.shape[1])
+    refit_variant = _resolve_variant(p_z_given_d.shape[1], n=n)
     if refit_variant:
         from .pallas_em_variants import refit_accumulator_variant
 

@@ -46,6 +46,13 @@ def main():
 
     a0, b0, ll0 = pallas_em.em_accumulators_fused(Xd, zd, wz, bd=bd, bw=bw)
     a0, b0 = np.asarray(a0), np.asarray(b0)
+    # Parity gates TABLE ELIGIBILITY: a variant may only become the measured
+    # auto-selection default (enstop_tpu/data/kernel_measured.json) if its
+    # accumulators match the shipped kernel bit-for-bit on device.  This
+    # excludes jo_res_bf16r by design (bf16 responsibilities are lossy — it
+    # stays an explicit ENSTOP_EM_KERNEL opt-in) and any variant whose
+    # Mosaic lowering misbehaves on real hardware.
+    parity_ok = {}
     for v in VARIANTS:
         try:
             a1, b1, ll1 = em_accumulators_variant(Xd, zd, wz, variant=v,
@@ -53,10 +60,12 @@ def main():
             da = np.abs(np.asarray(a1) - a0).max()
             db = np.abs(np.asarray(b1) - b0).max()
             dll = abs(float(ll1) - float(ll0))
-            status = "BIT-IDENTICAL" if (da == 0 and db == 0) else "DIFFERS"
+            parity_ok[v] = bool(da == 0 and db == 0)
+            status = "BIT-IDENTICAL" if parity_ok[v] else "DIFFERS"
             print(f"parity {v}: maxdiff A={da} B={db} ll={dll} -> {status}",
                   file=sys.stderr)
         except Exception as e:
+            parity_ok[v] = False
             print(f"parity {v}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
 
@@ -153,8 +162,11 @@ def main():
             times = {}
             for name in ["shipped"] + list(VARIANTS):
                 v = results.get(f"k{k}/{name}")
-                if v is not None:
-                    times[name] = round(v, 4)
+                if v is None:
+                    continue
+                if name != "shipped" and not parity_ok.get(name, False):
+                    continue  # never auto-select a non-bit-identical kernel
+                times[name] = round(v, 4)
             if "shipped" in times:
                 entries.append({
                     "k": k,
@@ -166,7 +178,9 @@ def main():
             "date": time.strftime("%Y-%m-%d"),
             "source": "scripts/exp_kernel_v3.py sweep at 20NG shape "
                       f"({n_pad}x{m_pad}, bd={bd}, bw={bw}, best-of-3 x "
-                      f"{N_STEPS}-iter loops)",
+                      f"{N_STEPS}-iter loops); entries exclude variants "
+                      "that are not device-bit-identical to shipped",
+            "parity_ok": parity_ok,
             "entries": entries,
         }
         path = os.path.join(os.path.dirname(os.path.dirname(

@@ -97,6 +97,7 @@ def main():
             import numpy as np
 
             agree = all(np.array_equal(comps[0], c) for c in comps[1:])
+        benign = all(rc == 0 for rc in rcs) and agree is True
         print(json.dumps({
             "metric": "persistent_cache_cross_process_probe",
             "runs": k,
@@ -104,11 +105,13 @@ def main():
             "cache_evidence_lines": cache_lines,
             "factors_bitwise_equal": agree,
             "verdict": ("benign: all fresh-process reloads executed and read "
-                        "back" if all(rc == 0 for rc in rcs) and agree
+                        "back" if benign
                         else "FAILURE REPRODUCED — gate the import-time "
                              "enablement"),
         }))
-        return 0 if all(rc == 0 for rc in rcs) else 1
+        # rc mirrors the verdict: silently-corrupted factors (rc 0 but
+        # disagreeing results) must read as failure to rc-based callers too
+        return 0 if benign else 1
 
 
 if __name__ == "__main__":

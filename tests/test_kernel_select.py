@@ -82,6 +82,42 @@ def test_env_override_beats_table(table, monkeypatch):
         _resolve_variant(100)
 
 
+def test_resident_variants_gated_by_n(table):
+    """jo_resident holds the whole (n, kp) B in VMEM — at large n the
+    selector must fall back to the next-best HBM-safe layout (jo here)
+    instead of picking a program that cannot compile."""
+    table([{"k": 200, "best": "jo_resident",
+            "per_iter_ms": {"shipped": 30.0, "jo": 24.0,
+                            "jo_resident": 22.0}}])
+    f = kernel_select.measured_best_variant
+    # small n: resident B fits -> measured best
+    assert f(200, "TPU v5e", n=20_000) == "jo_resident"
+    # 500k docs x kp=200 x 4B = 400 MB >> VMEM -> next-best HBM-safe layout
+    assert f(200, "TPU v5e", n=500_000) == "jo"
+    # n unknown (legacy callers): no gating, table best
+    assert f(200, "TPU v5e") == "jo_resident"
+
+
+def test_malformed_entries_degrade_to_shipped(table):
+    """A stale or hand-edited table must never crash a fit: k<=0 (math.log
+    domain), bool k, unknown variant names, and non-finite timings are all
+    ignored rather than raised."""
+    f = kernel_select.measured_best_variant
+    table([{"k": 0, "best": "jo", "per_iter_ms": {"shipped": 1.0, "jo": 0.5}}])
+    assert f(100, "TPU v5e") is None  # k=0 entry dropped, no entries left
+    table([
+        {"k": True, "per_iter_ms": {"shipped": 1.0, "jo": 0.5}},
+        {"k": -3, "per_iter_ms": {"shipped": 1.0, "jo": 0.5}},
+        {"k": 100, "per_iter_ms": {"shipped": 10.0, "jo_v2_renamed": 1.0,
+                                   "jo": float("nan"), "jo_resident": -1.0}},
+    ])
+    # the k=100 entry survives but every variant timing is invalid/unknown
+    assert f(100, "TPU v5e") is None
+    table([{"k": 100, "per_iter_ms": {"shipped": 10.0, "jo": 8.0,
+                                      "not_a_kernel": 1.0}}])
+    assert f(100, "TPU v5e") == "jo"  # unknown name ignored, real win kept
+
+
 def test_corrupt_table_is_shipped(tmp_path, monkeypatch):
     p = tmp_path / "bad.json"
     p.write_text("{not json")
