@@ -13,6 +13,14 @@ while true; do
     echo "relay ALIVE at $(date +%T) — launching $QUEUE"
     bash "$QUEUE"
     echo "queue finished at $(date +%T)"
+    # persist the evidence (probe timeline + per-step logs) into the repo so
+    # the round artifacts show the queue was armed and what it measured
+    mkdir -p logs/tpu_queue_r4
+    cp -f /tmp/relay_watch*.log /tmp/tpu_queue4.log /tmp/tpu_q4_*.log \
+      logs/tpu_queue_r4/ 2>/dev/null || true
+    git add logs/tpu_queue_r4 && \
+      git commit -m "TPU queue logs: live-relay measurement evidence (round 4)" \
+        -- logs/tpu_queue_r4 || true
     exit 0
   fi
   echo "relay dead at $(date +%T); retry in 900s"
