@@ -37,6 +37,22 @@ FUNCTIONS = {
     "plsa_fit": ("plsa.py", "enstop.plsa", "plsa_fit"),
     "plsa_refit": ("plsa.py", "enstop.plsa", "plsa_refit"),
     "plsa_init": ("plsa.py", "enstop.plsa", "plsa_init"),
+    # per-module drop-in shims for the reference's variant drivers and the
+    # module-public kernel symbols (VERDICT r03 'drop-in kernel-symbol shims')
+    "streamed_plsa.plsa_fit":
+        ("streamed_plsa.py", "enstop.streamed_plsa", "plsa_fit"),
+    "block_parallel_plsa.plsa_fit":
+        ("block_parallel_plsa.py", "enstop.block_parallel_plsa", "plsa_fit"),
+    "distributed_plsa.plsa_fit":
+        ("distributed_plsa.py", "enstop.distributed_plsa", "plsa_fit"),
+    "cuda_plsa.plsa_fit": ("cuda_plsa.py", "enstop.cuda_plsa", "plsa_fit"),
+    "plsa.plsa_e_step": ("plsa.py", "enstop.plsa", "plsa_e_step"),
+    "plsa.plsa_m_step": ("plsa.py", "enstop.plsa", "plsa_m_step"),
+    "plsa.plsa_m_step_w_sample_weight":
+        ("plsa.py", "enstop.plsa", "plsa_m_step_w_sample_weight"),
+    "plsa.log_likelihood": ("plsa.py", "enstop.plsa", "log_likelihood"),
+    "plsa.plsa_refit_m_step":
+        ("plsa.py", "enstop.plsa", "plsa_refit_m_step"),
     "ensemble_fit": ("enstop_.py", "enstop.enstop_", "ensemble_fit"),
     "ensemble_of_topics": ("enstop_.py", "enstop.enstop_", "ensemble_of_topics"),
     "normalize": ("utils.py", "enstop.utils", "normalize"),
@@ -65,6 +81,7 @@ WHITELIST = {
         "EnsembleTopics.transform TypeError, enstop_.py:847-854; "
         "ARCHITECTURE.md 'Reference defects')",
     ("plsa_refit", "sample_weight"): "same",
+    ("streamed_plsa.plsa_fit", "sample_weight"): "same",
     ("plsa_init", "rng"):
         "np.random module default -> None through check_random_state "
         "(identical behavior: None uses the global numpy RNG)",
