@@ -326,6 +326,15 @@ def _bench_body():
         # it is NOT a TPU measurement and must not be read as one
         record["backend"] = "cpu-fallback"
         record["fallback_reason"] = os.environ["ENSTOP_BENCH_FALLBACK_REASON"]
+        # context for readers of a fallback artifact: the most recent number
+        # this SAME program produced on real hardware (clearly labeled as
+        # historical — see docs/PERFORMANCE.md for methodology and date)
+        record["last_tpu_measurement"] = {
+            "value_gupdates_per_s": 17.55,
+            "vs_baseline": 106.1,
+            "date": "round 2 (docs/PERFORMANCE.md headline; relay dead "
+                    "since, queue armed: scripts/relay_watch.sh)",
+        }
     print(json.dumps(record))
     print(
         f"# fit: {steps} EM iters, nnz={nnz}, wall={wall:.2f}s, "
