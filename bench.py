@@ -321,6 +321,15 @@ def _bench_body():
         "backend": jax.default_backend(),
         "mfu_bf16_v5e": round(mfu, 4),
     }
+    if backend == "pallas":
+        try:
+            # which EM grid layout the production program traced with (env
+            # override or the measured table's pick — ops/kernel_select.py)
+            from enstop_tpu.ops.pallas_em import _resolve_variant
+
+            record["em_kernel"] = _resolve_variant(K, n=n_pad) or "shipped"
+        except Exception:
+            pass
     if os.environ.get("ENSTOP_BENCH_FALLBACK_REASON"):
         # this number was measured on the CPU fallback at reduced scale —
         # it is NOT a TPU measurement and must not be read as one
