@@ -13,6 +13,8 @@
 
 set -u
 cd "$(dirname "$0")/.."
+# a step killed at its timeout must not lose its buffered measurements
+export PYTHONUNBUFFERED=1
 
 step() {
   local name="$1"; shift
