@@ -60,3 +60,23 @@ def test_check_sample_weight_defaults_and_errors():
         _check_sample_weight(np.ones((5, 2)), X)
     with pytest.raises(ValueError):
         _check_sample_weight(np.ones(4), X)
+
+
+def test_pad_dense_counts_min_rows():
+    """min_rows pads to a coarser row target (absorbing zeros) — the shape
+    bucketing hook for serving staging (round 4)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from enstop_tpu.ops.data import pad_dense_counts
+
+    X = sp.csr_matrix(np.arange(12, dtype=np.int64).reshape(3, 4))
+    out, n, m = pad_dense_counts(X, row_multiple=8, col_multiple=128,
+                                 min_rows=20)
+    assert (n, m) == (3, 4)
+    assert out.shape == (24, 128)  # max(3, 20) rounded to 8
+    np.testing.assert_array_equal(out[:3, :4], X.toarray())
+    assert not out[3:].any() and not out[:, 4:].any()
+    # default keeps the old behavior exactly
+    out2, _, _ = pad_dense_counts(X, row_multiple=8, col_multiple=128)
+    assert out2.shape == (8, 128)
