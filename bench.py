@@ -234,6 +234,11 @@ def _bench_body():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("ENSTOP_BENCH_SELFTEST_RAISE"):
+        # test hook: lets tests/test_bench_probe.py drive the retry ladder
+        # end-to-end in subprocesses (the never-exit-nonzero contract)
+        raise RuntimeError("selftest: simulated bench failure")
+
     from enstop_tpu.ops.data import pad_factors, pad_vector
     from enstop_tpu.ops.driver import prepare_counts, resolve_backend
     from enstop_tpu.ops.init import plsa_init

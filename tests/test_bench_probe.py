@@ -67,3 +67,34 @@ def test_probe_subprocess_code_is_pure_transfer(bench):
     assert "device_put" in bench._PROBE_CODE
     for banned in ("jit", "while_loop", "@", "dot", "matmul"):
         assert banned not in bench._PROBE_CODE
+
+
+def test_bench_never_exits_nonzero_on_failure():
+    """The round-3 artifact was rc=1 (a crash, no number).  Drive the retry
+    ladder end-to-end in a real subprocess: a body that always raises must
+    walk cache-on -> cache-off -> (already CPU) -> honest error JSON, and
+    the process MUST exit 0."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        ENSTOP_BENCH_FORCE_CPU="1",
+        ENSTOP_BENCH_SELFTEST_RAISE="1",
+        ENSTOP_AOT_CACHE="1",
+    )
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    record = json.loads(r.stdout.strip().splitlines()[-1])
+    assert record["backend"] == "error"
+    assert "selftest: simulated bench failure" in record["error"]
+    assert record["value"] == 0.0
+    # the ladder actually walked: the cache-off re-exec is in stderr
+    assert "retrying with it off" in r.stderr
