@@ -127,3 +127,43 @@ def test_corrupt_table_is_shipped(tmp_path, monkeypatch):
         assert kernel_select.measured_best_variant(100, "TPU v5e") is None
     finally:
         kernel_select.clear_cache()
+
+
+def test_fused_dispatch_threads_n_into_selection(monkeypatch):
+    """Wiring regression: em_accumulators_fused/refit_step_fused must pass
+    the padded doc count into measured_best_variant — without it the VMEM
+    residency gate silently stops protecting large-n fits."""
+    import numpy as np
+
+    from enstop_tpu.ops import pallas_em
+
+    seen = []
+
+    def recorder(k, kind, n=None):
+        seen.append((k, kind, n))
+        return None  # always shipped: downstream kernels run normally
+
+    monkeypatch.setattr(pallas_em, "_interpret", lambda: False)
+    monkeypatch.setattr(
+        "enstop_tpu.ops.kernel_select.measured_best_variant", recorder)
+    monkeypatch.setattr(
+        pallas_em, "_fused_em_call",
+        lambda X, zd, wz, w, bd, bw, **kw: (
+            np.zeros((zd.shape[1], X.shape[1]), np.float32),
+            np.zeros((X.shape[0], zd.shape[1]), np.float32),
+            0.0,
+        ))
+    monkeypatch.setattr(
+        pallas_em, "_fused_refit_call",
+        lambda X, zd, wz, w, bd, bw, **kw: (
+            np.zeros((X.shape[0], zd.shape[1]), np.float32), 0.0))
+
+    X = np.zeros((16, 256), np.float32)
+    zd = np.full((16, 8), 1 / 8, np.float32)
+    wz = np.full((8, 256), 1 / 256, np.float32)
+    pallas_em.em_accumulators_fused(X, zd, wz)
+    pallas_em.refit_step_fused(X, zd, wz)
+    assert len(seen) == 2
+    for k, kind, n in seen:
+        assert k == 8
+        assert n == 16, "padded doc count must reach the VMEM gate"
