@@ -4,7 +4,8 @@
 # Usage: nohup bash scripts/relay_watch.sh > /tmp/relay_watch.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
-QUEUE="${RELAY_QUEUE:-scripts/tpu_round4_queue.sh}"
+QUEUE="${RELAY_QUEUE:-scripts/tpu_round5_queue.sh}"
+LOGDIR="${RELAY_LOGDIR:-logs/tpu_queue_r5}"
 
 while true; do
   # the probe definition lives in bench.py (_PROBE_CODE) — one source of truth
@@ -15,12 +16,12 @@ while true; do
     echo "queue finished at $(date +%T)"
     # persist the evidence (probe timeline + per-step logs) into the repo so
     # the round artifacts show the queue was armed and what it measured
-    mkdir -p logs/tpu_queue_r4
-    cp -f /tmp/relay_watch*.log /tmp/tpu_queue4.log /tmp/tpu_q4_*.log \
-      logs/tpu_queue_r4/ 2>/dev/null || true
-    git add logs/tpu_queue_r4 && \
-      git commit -m "TPU queue logs: live-relay measurement evidence (round 4)" \
-        -- logs/tpu_queue_r4 || true
+    mkdir -p "$LOGDIR"
+    cp -f /tmp/relay_watch*.log /tmp/tpu_queue*.log /tmp/tpu_q*_*.log \
+      "$LOGDIR/" 2>/dev/null || true
+    git add "$LOGDIR" && \
+      git commit -m "TPU queue logs: live-relay measurement evidence" \
+        -- "$LOGDIR" || true
     exit 0
   fi
   echo "relay dead at $(date +%T); retry in 900s"
