@@ -208,13 +208,17 @@ def main():
             _reexec({"ENSTOP_AOT_CACHE": "0"},
                     f"bench raised {type(e).__name__} with the AOT cache on; "
                     "retrying with it off")
-        if jax.default_backend() != "cpu":
+        # Decide the CPU retry from ENV state, never jax.default_backend():
+        # if _bench_body raised before backend init while the relay is dead,
+        # default_backend() is itself the first call to hang forever — and
+        # the watchdog was just disarmed by done.set() (ADVICE r04).  The
+        # ladder's rungs are keyed by ENSTOP_BENCH_FORCE_CPU anyway.
+        if not os.environ.get("ENSTOP_BENCH_FORCE_CPU"):
             _reexec(
                 {"ENSTOP_BENCH_FORCE_CPU": "1", "ENSTOP_AOT_CACHE": "0",
                  "ENSTOP_BENCH_FALLBACK_REASON":
                      f"tpu bench raised {type(e).__name__}: {str(e)[:160]}"},
-                f"bench raised {type(e).__name__} on "
-                f"{jax.default_backend()}; retrying on CPU")
+                f"bench raised {type(e).__name__}; retrying on CPU")
         # CPU with the cache off still failed: record the failure honestly
         # rather than crash the driver artifact
         print(json.dumps({

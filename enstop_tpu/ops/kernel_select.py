@@ -21,7 +21,9 @@ Selection contract:
 
 Table schema (written by scripts/exp_kernel_v3.py)::
 
-    {"device_kind": "TPU v5e", "date": "...", "entries": [
+    {"device_kind": "TPU v5e", "date": "...",
+     "parity_ok": {"jo": true, "jo_resident": true, "jo_res_bf16r": false},
+     "entries": [
         {"k": 100, "best": "jo_resident",
          "per_iter_ms": {"shipped": 12.1, "jo": 10.0, "jo_resident": 9.6}},
         ...]}
@@ -65,6 +67,13 @@ def clear_cache():
 _RESIDENT_B_BUDGET_BYTES = 64 * 1024 * 1024
 _RESIDENT_VARIANTS = ("jo_resident", "jo_res_bf16r")
 
+# Read-time defense in depth (ADVICE r04): only variants on this allowlist
+# may EVER be auto-selected, regardless of table content.  jo_res_bf16r is
+# deliberately absent — its bf16 responsibilities are lossy, so it stays
+# ENSTOP_EM_KERNEL-opt-in forever even if a stale or hand-edited table
+# claims parity for it.
+_AUTO_ELIGIBLE = frozenset({"jo", "jo_resident"})
+
 
 def _known_variants():
     from .pallas_em_variants import VARIANTS
@@ -96,7 +105,15 @@ def measured_best_variant(k: int, device_kind: str | None,
     measured_kind = table.get("device_kind", "")
     if measured_kind and measured_kind != device_kind:
         return None  # measured on different hardware: don't extrapolate
-    known = _known_variants() | {"shipped"}
+    # writer-side parity filter is re-checked here: a non-shipped variant is
+    # admissible only if it is on the bit-identical allowlist AND the table
+    # itself recorded parity_ok[name] is True (missing/False -> inadmissible)
+    parity_ok = table.get("parity_ok")
+    parity_ok = parity_ok if isinstance(parity_ok, dict) else {}
+    known = {
+        name for name in (_known_variants() & _AUTO_ELIGIBLE)
+        if parity_ok.get(name) is True
+    } | {"shipped"}
     entries = [e for e in table["entries"]
                if isinstance(e, dict) and _valid_k(e.get("k"))
                and isinstance(e.get("per_iter_ms"), dict)]

@@ -594,8 +594,22 @@ def _fallback_to_chunks(prep, err, first_use=True):
         return False
     if not first_use:
         return False  # program ran before: cannot be a compile rejection
-    if "Buffer Definition Event" in str(err):
-        return False  # result-readback failure, not a compile rejection
+    # Execution/transport-phase markers: result-readback failures and dead-
+    # relay transport errors.  ``first_use`` means "never dispatched", not
+    # "never executed" (dispatch is async), so an async execution failure on
+    # the first call still lands here — these markers keep it from
+    # triggering a minutes-long repack against a possibly-dead device
+    # (ADVICE r04).
+    msg = str(err).lower()
+    _EXEC_PHASE_MARKERS = (
+        "buffer definition event",   # result-readback failure
+        "deadline_exceeded", "deadline exceeded",
+        "unavailable",
+        "socket closed", "connection reset", "connection refused",
+        "broken pipe", "transport",
+    )
+    if any(m in msg for m in _EXEC_PHASE_MARKERS):
+        return False
     if prep.kind != "sell" or prep.src is None:
         return False
     warnings.warn(

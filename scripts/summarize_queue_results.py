@@ -1,12 +1,14 @@
 """Summarize the TPU queue's per-step logs into a markdown snippet.
 
-Run after scripts/tpu_round4_queue.sh completes (or partially completes):
+Run after scripts/tpu_round5_queue.sh completes (or partially completes):
     python scripts/summarize_queue_results.py [/tmp]
 Parses the JSON/result lines each step prints and emits a
 PERFORMANCE.md-ready summary, so a relay window late in the round can be
-integrated in minutes.  Tolerant of missing/partial logs.
+integrated in minutes.  Tolerant of missing/partial logs; reads the newest
+queue generation's log for each step (tpu_q5_* preferred over tpu_q4_*).
 """
 
+import ast
 import json
 import re
 import sys
@@ -20,6 +22,14 @@ def read(path):
         return ""
 
 
+def read_step(base, name):
+    for prefix in ("tpu_q5_", "tpu_q4_"):
+        text = read(Path(base) / f"{prefix}{name}.log")
+        if text:
+            return text
+    return ""
+
+
 def last_json_line(text):
     for line in reversed(text.strip().splitlines()):
         line = line.strip()
@@ -28,7 +38,8 @@ def last_json_line(text):
                 return json.loads(line)
             except ValueError:
                 try:
-                    return eval(line, {"__builtins__": {}})  # python dict repr
+                    # python dict repr; literal_eval cannot execute code
+                    return ast.literal_eval(line)
                 except Exception:
                     continue
     return None
@@ -43,7 +54,7 @@ def main():
         ("bench_aot_warm", "bench (AOT-warm / table-selected kernel)"),
         ("bench_jores", "bench (ENSTOP_EM_KERNEL=jo_resident)"),
     ]:
-        rec = last_json_line(read(base / f"tpu_q4_{name}.log"))
+        rec = last_json_line(read_step(base, name))
         if rec and isinstance(rec, dict) and "value" in rec:
             out.append(
                 f"* **{label}**: {rec['value']} Gupd/s, "
@@ -54,7 +65,7 @@ def main():
         else:
             out.append(f"* {label}: no record")
 
-    kv3 = read(base / "tpu_q4_kernel_v3.log")
+    kv3 = read_step(base, "kernel_v3")
     rec = last_json_line(kv3)
     if isinstance(rec, dict) and "per_iter_ms" in rec:
         out.append("* **kernel sweep (ms/iter)**:")
@@ -63,12 +74,12 @@ def main():
     parity = [ln for ln in kv3.splitlines() if ln.startswith("parity ")]
     out.extend(f"    * {ln}" for ln in parity)
 
-    ens = read(base / "tpu_q4_ensemble.log")
+    ens = read_step(base, "ensemble")
     walls = re.findall(r"(?:E2E|end.to.end|total)[^\d]*([\d.]+)\s*s", ens,
                        re.IGNORECASE)
     out.append(f"* **ensemble E2E walls**: {walls or 'no record'}")
 
-    reuse = last_json_line(read(base / "tpu_q4_compile_reuse.log"))
+    reuse = last_json_line(read_step(base, "compile_reuse"))
     if isinstance(reuse, dict):
         out.append(
             f"* **serving compile-reuse**: "
@@ -79,7 +90,7 @@ def main():
     else:
         out.append("* serving compile-reuse: no record")
 
-    aot = read(base / "tpu_q4_aot_probe.log")
+    aot = read_step(base, "aot_probe")
     if "DESERIALIZE+RUN OK" in aot:
         out.append("* **axon SerializeExecutable**: reload path executed OK")
     elif aot:
@@ -88,7 +99,7 @@ def main():
         out.append("* axon SerializeExecutable: no record")
 
     for name in ("kernel_smoke", "chunks_smoke", "sparse_bench"):
-        t = read(base / f"tpu_q4_{name}.log")
+        t = read_step(base, name)
         out.append(f"* {name}: {'log present (' + str(len(t.splitlines())) + ' lines)' if t else 'no record'}")
 
     print("\n".join(out))

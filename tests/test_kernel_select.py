@@ -15,12 +15,18 @@ from enstop_tpu.ops import kernel_select
 from enstop_tpu.ops.pallas_em import _resolve_variant
 
 
+# what scripts/exp_kernel_v3.py records for device-bit-identical variants
+PARITY_OK = {"jo": True, "jo_resident": True, "jo_res_bf16r": False}
+
+
 @pytest.fixture
 def table(tmp_path, monkeypatch):
-    def write(entries, device_kind="TPU v5e"):
+    def write(entries, device_kind="TPU v5e", parity_ok=PARITY_OK):
+        body = {"device_kind": device_kind, "entries": entries}
+        if parity_ok is not None:
+            body["parity_ok"] = parity_ok
         p = tmp_path / "kernel_measured.json"
-        p.write_text(json.dumps({"device_kind": device_kind,
-                                 "entries": entries}))
+        p.write_text(json.dumps(body))
         monkeypatch.setenv("ENSTOP_KERNEL_TABLE", str(p))
         kernel_select.clear_cache()
         return p
@@ -116,6 +122,38 @@ def test_malformed_entries_degrade_to_shipped(table):
     table([{"k": 100, "per_iter_ms": {"shipped": 10.0, "jo": 8.0,
                                       "not_a_kernel": 1.0}}])
     assert f(100, "TPU v5e") == "jo"  # unknown name ignored, real win kept
+
+
+def test_parity_gate_at_read_time(table):
+    """ADVICE r04 (medium): the READER must re-enforce bit-identity — a
+    stale, hand-edited, or ENSTOP_KERNEL_TABLE-supplied table must not be
+    able to auto-select a non-bit-identical kernel."""
+    f = kernel_select.measured_best_variant
+    win = [{"k": 100, "best": "jo",
+            "per_iter_ms": {"shipped": 10.0, "jo": 8.0}}]
+    # table with no parity_ok record at all: nothing is admissible
+    table(win, parity_ok=None)
+    assert f(100, "TPU v5e") is None
+    # parity_ok says jo failed parity: inadmissible despite the timing win
+    table(win, parity_ok={"jo": False, "jo_resident": True})
+    assert f(100, "TPU v5e") is None
+    # non-boolean truthy parity values are not trusted
+    table(win, parity_ok={"jo": "yes"})
+    assert f(100, "TPU v5e") is None
+    # honest table: the win applies
+    table(win)
+    assert f(100, "TPU v5e") == "jo"
+
+
+def test_bf16r_never_auto_selected(table):
+    """jo_res_bf16r is lossy and stays env-opt-in forever — even a table
+    that (wrongly) claims parity for it must not get it auto-picked; the
+    selector falls to the next-best allowlisted variant."""
+    table([{"k": 100, "best": "jo_res_bf16r",
+            "per_iter_ms": {"shipped": 10.0, "jo": 8.0,
+                            "jo_res_bf16r": 5.0}}],
+          parity_ok={"jo": True, "jo_resident": True, "jo_res_bf16r": True})
+    assert kernel_select.measured_best_variant(100, "TPU v5e") == "jo"
 
 
 def test_corrupt_table_is_shipped(tmp_path, monkeypatch):
