@@ -131,6 +131,46 @@ def nmf_topics(X, k, **kwargs):
 # ensemble fan-out (reference enstop_.py:164-231, redesigned device-resident)
 # ---------------------------------------------------------------------------
 
+def _n_devices():
+    try:
+        return len(jax.devices())
+    except Exception:
+        return 1
+
+
+def resolve_parallelism(parallelism, model="plsa", backend="auto",
+                        n_runs=16, prepared=None):
+    """Topology-aware fan-out routing (VERDICT r04 item 4).
+
+    ``"auto"`` (the estimator default) picks the measured-best mode for the
+    current topology: ``"weights"`` on a single device — the one-program
+    sharded SPMD fan-out is measured ~2x slower there (docs/PERFORMANCE.md:
+    11.1 s vs 4.7-6.8 s E2E) — and ``"sharded"`` when the runs can divide
+    across >1 device.  Sparse (SELL) corpora always route to ``"weights"``:
+    the O(nnz) resident fan-out is the sparse program, there is no sharded
+    SELL variant.  Explicit strings are honored unchanged, with a warning
+    when the user forces the measured-slower mode on one chip.
+    """
+    from ..ops.sell import PreparedSell
+
+    if parallelism == "auto":
+        if model != "plsa":
+            return "resample"
+        if backend == "sparse" or isinstance(prepared, PreparedSell):
+            return "weights"
+        return "sharded" if (_n_devices() > 1 and n_runs > 1) else "weights"
+    if parallelism == "sharded" and model == "plsa" and _n_devices() == 1:
+        import warnings
+
+        warnings.warn(
+            "parallelism='sharded' on a single device is measured ~2x "
+            "slower than 'weights' (it exists for multi-chip fan-out); "
+            "use parallelism='auto' to route by topology",
+            stacklevel=3,
+        )
+    return parallelism
+
+
 @lru_cache(maxsize=32)
 def _dense_init_fn(n_pad, kp, n, k, m_pad, m):
     """Compiled on-device random-init generator, cached so repeat ensemble fits
@@ -354,7 +394,7 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
 
 
 def ensemble_of_topics(
-    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="weights", **kwargs
+    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="auto", **kwargs
 ):
     """Generate ``n_runs · k`` candidate topics (reference enstop_.py:164-231).
 
@@ -363,15 +403,19 @@ def ensemble_of_topics(
     on its way into the combiner.
 
     ``parallelism``:
-      * ``"weights"`` (default) — device-resident multinomial-weight bootstraps
-        (no per-run data copies; the TPU-native path);
+      * ``"auto"`` (default) — topology-aware: ``"weights"`` on one device,
+        ``"sharded"`` across several (see :func:`resolve_parallelism`);
+      * ``"weights"`` — device-resident multinomial-weight bootstraps
+        (no per-run data copies; the single-chip TPU-native path);
       * ``"sharded"`` — every run in one compiled SPMD program, sharded over all
-        devices (the multi-chip fan-out; on one device it removes host dispatch
-        between runs);
+        devices (the multi-chip fan-out; ~2x slower than "weights" on one chip);
       * ``"resample"`` / ``"none"`` — materialized row-resample per run, exactly
         the reference's sampling (enstop_.py:87-88), fits run sequentially;
-      * ``"joblib"`` / ``"dask"`` — accepted for API parity, mapped to
-        ``"resample"`` (thread fan-out does not help a device-bound workload).
+      * ``"joblib"`` / ``"dask"`` — the reference's host thread fan-out
+        (enstop_.py:209-229): on a CPU backend, runs fit concurrently in a
+        thread pool of ``n_jobs`` workers (XLA releases the GIL during
+        execution); on an accelerator backend a warning is issued and the
+        fits run sequentially (threads cannot help a device-bound workload).
     """
     out = _ensemble_of_topics_device(
         X, k, model=model, n_jobs=n_jobs, n_runs=n_runs,
@@ -385,17 +429,21 @@ def ensemble_of_topics(
 
 
 def _ensemble_of_topics_device(
-    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="weights", **kwargs
+    X, k, model="plsa", n_jobs=4, n_runs=16, parallelism="auto", **kwargs
 ):
     """Internal fan-out: the device paths return the topic stack as a
     device-resident jax.Array (the combiner consumes it in HBM)."""
-    known = {"weights", "sharded", "resample", "none", "joblib", "dask"}
+    known = {"auto", "weights", "sharded", "resample", "none", "joblib", "dask"}
     if parallelism not in known:
         raise ValueError(
             "Unrecognized parallelism {!r}; should be one of {}".format(
                 parallelism, tuple(sorted(known))
             )
         )
+    parallelism = resolve_parallelism(
+        parallelism, model=model, backend=kwargs.get("backend", "auto"),
+        n_runs=n_runs, prepared=kwargs.get("prepared"),
+    )
     if model == "plsa" and parallelism == "sharded":
         rng = check_random_state(kwargs.get("random_state", None))
         return _sharded_plsa_runs(
@@ -436,12 +484,37 @@ def _ensemble_of_topics_device(
         raise ValueError('Model must be one of "plsa" or "nmf"')
 
     rng = check_random_state(kwargs.get("random_state", None))
-    topics = []
-    for _ in range(n_runs):
-        run_kwargs = dict(kwargs)
-        run_kwargs["random_state"] = rng.randint(np.iinfo(np.int32).max)
-        topics.append(create_topics(X, k, **run_kwargs))
-    return np.vstack(topics)
+    # seeds drawn sequentially up front: run i's stream is identical whether
+    # the fits below execute sequentially or on a thread pool
+    seeds = [rng.randint(np.iinfo(np.int32).max) for _ in range(n_runs)]
+
+    def one_run(seed):
+        return create_topics(X, k, **dict(kwargs, random_state=seed))
+
+    if parallelism in ("joblib", "dask"):
+        # the reference's host thread fan-out (enstop_.py:209-229).  Real
+        # concurrency only helps when the fits run on the host CPU (XLA
+        # releases the GIL during execution); on an accelerator the runs
+        # serialize on one device anyway and threads just add contention.
+        if jax.default_backend() == "cpu" and n_jobs != 1 and n_runs > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = n_jobs if n_jobs > 0 else (os.cpu_count() or 1)
+            with ThreadPoolExecutor(max_workers=min(workers, n_runs)) as ex:
+                return np.vstack(list(ex.map(one_run, seeds)))
+        elif jax.default_backend() != "cpu":
+            import warnings
+
+            warnings.warn(
+                "parallelism={!r} fans bootstrap fits out over host threads, "
+                "which cannot help a device-bound workload on {!r}; running "
+                "sequentially (use parallelism='auto' for the device-native "
+                "fan-out)".format(parallelism, jax.default_backend()),
+                stacklevel=3,
+            )
+
+    return np.vstack([one_run(s) for s in seeds])
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +657,7 @@ def ensemble_fit(
     min_cluster_size=4,
     n_starts=16,
     n_jobs=1,
-    parallelism="weights",
+    parallelism="auto",
     topic_combination="hellinger_umap",
     bootstrap=True,
     n_iter=100,
@@ -611,6 +684,10 @@ def ensemble_fit(
 
     timings = {}
     t0 = _time.perf_counter()
+    parallelism = resolve_parallelism(
+        parallelism, model=model, backend=backend, n_runs=n_starts,
+        prepared=X if isinstance(X, (PreparedCounts, PreparedSell)) else None,
+    )
     if isinstance(X, (PreparedCounts, PreparedSell)):
         prepared, X = X, None
         if model != "plsa" or parallelism not in ("weights", "sharded"):
@@ -725,7 +802,7 @@ class EnsembleTopics(TopicModelBase):
         min_samples=3,
         min_cluster_size=5,
         n_jobs=8,
-        parallelism="weights",
+        parallelism="auto",
         topic_combination="hellinger_umap",
         bootstrap=True,
         n_iter=80,

@@ -72,8 +72,10 @@ WHITELIST = {
     ("DistributedPLSA", "n_row_blocks"): "same",
     ("DistributedPLSA", "n_col_blocks"): "same",
     ("EnsembleTopics", "parallelism"):
-        "'dask' (threads) -> 'weights' (device-resident multinomial "
-        "bootstraps, equivalence-proved) — docs/API.md:62-68",
+        "'dask' (threads) -> 'auto' (topology-aware: device-resident "
+        "multinomial bootstraps on one device, one SPMD program across "
+        "several; equivalence-proved) — docs/API.md:62-68; 'dask'/'joblib' "
+        "remain honored as a real host thread pool on CPU backends",
     ("ensemble_fit", "parallelism"): "same",
     ("ensemble_of_topics", "parallelism"): "same",
     ("plsa_fit", "sample_weight"):

@@ -257,3 +257,66 @@ def test_ensemble_rejects_sample_weight():
     with pytest.raises(TypeError, match="sample_weight"):
         EnsembleTopics(n_components=2, n_starts=2, n_iter=5).fit(
             X, sample_weight=np.ones(30))
+
+
+# ---------------------------------------------------------------------------
+# topology-aware routing (VERDICT r04 item 4) + honest joblib/dask (item 5)
+# ---------------------------------------------------------------------------
+
+def test_resolve_parallelism_routing(monkeypatch):
+    from enstop_tpu.models import ensemble as ens
+
+    # single device: auto -> weights (sharded is measured ~2x slower there)
+    monkeypatch.setattr(ens, "_n_devices", lambda: 1)
+    assert ens.resolve_parallelism("auto") == "weights"
+    # several devices: auto -> sharded (one SPMD program over the mesh)
+    monkeypatch.setattr(ens, "_n_devices", lambda: 8)
+    assert ens.resolve_parallelism("auto") == "sharded"
+    # a single run cannot shard
+    assert ens.resolve_parallelism("auto", n_runs=1) == "weights"
+    # sparse corpora route to the SELL fan-out regardless of topology
+    assert ens.resolve_parallelism("auto", backend="sparse") == "weights"
+    # non-plsa models fall back to the reference's materialized resample
+    assert ens.resolve_parallelism("auto", model="nmf") == "resample"
+    # explicit strings are honored unchanged
+    for p in ("weights", "sharded", "resample", "none", "joblib", "dask"):
+        assert ens.resolve_parallelism(p, n_runs=8) == p
+
+
+def test_explicit_sharded_on_one_device_warns(monkeypatch):
+    from enstop_tpu.models import ensemble as ens
+
+    monkeypatch.setattr(ens, "_n_devices", lambda: 1)
+    with pytest.warns(UserWarning, match="sharded.*slower|slower.*sharded"):
+        ens.resolve_parallelism("sharded")
+    # but auto never warns (it routed away from the slow mode)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert ens.resolve_parallelism("auto") == "weights"
+
+
+def test_joblib_thread_pool_matches_sequential(corpus):
+    """parallelism='joblib' on the CPU backend is a REAL thread fan-out
+    (reference enstop_.py:209-229) and must be run-for-run identical to the
+    sequential resample path given the same random_state (seeds are drawn
+    up front, so thread scheduling cannot perturb any run's stream)."""
+    X = sp.csr_matrix(corpus)
+    kw = dict(n_runs=3, random_state=11, n_iter=10)
+    seq = ensemble_of_topics(X, 3, parallelism="resample", n_jobs=1, **kw)
+    pooled = ensemble_of_topics(X, 3, parallelism="joblib", n_jobs=3, **kw)
+    np.testing.assert_array_equal(seq, pooled)
+    dask = ensemble_of_topics(X, 3, parallelism="dask", n_jobs=2, **kw)
+    np.testing.assert_array_equal(seq, dask)
+
+
+def test_auto_default_runs_end_to_end(corpus):
+    """The estimator default is 'auto'; on the 8-virtual-device test mesh it
+    routes to the sharded SPMD program and must fit fine end-to-end."""
+    X = sp.csr_matrix(corpus)
+    m = EnsembleTopics(n_components=3, n_starts=4, n_iter=15, random_state=0)
+    assert m.parallelism == "auto"
+    emb = m.fit_transform(X)
+    assert emb.shape[0] == corpus.shape[0]
+    assert np.isfinite(m.components_).all()
