@@ -20,34 +20,41 @@ __all__ = ["plsa_init", "nndsvd_init"]
 
 
 def nndsvd_init(X, k, rng):
-    """Non-negative double SVD init (reference plsa.py:458-493, after sklearn NMF)."""
-    U, S, V = randomized_svd(X, k, random_state=rng)
-    p_z_given_d = np.zeros(U.shape)
-    p_w_given_z = np.zeros(V.shape)
+    """Nonnegative double-SVD initialization, vectorized over components.
 
-    p_z_given_d[:, 0] = np.sqrt(S[0]) * np.abs(U[:, 0])
-    p_w_given_z[0, :] = np.sqrt(S[0]) * np.abs(V[0, :])
+    The canonical NNDSVD scheme (Boutsidis & Gallopoulos 2008, as in sklearn
+    NMF; reference behavior: plsa.py:458-493): take a rank-``k`` randomized
+    SVD, keep ``sqrt(s0)`` times the absolute leading pair, and for every
+    later component keep whichever sign half (positive or negative parts of
+    the singular-vector pair) carries the larger norm product, rescaled to
+    unit vectors times ``sqrt(s_j * mass)``.  The per-component loop is
+    replaced by one masked selection over the trailing components.
+    """
+    U, S, Vt = randomized_svd(X, k, random_state=rng)
+    doc_seed = np.empty_like(U)  # (n, k), becomes P(z|d)
+    word_seed = np.empty_like(Vt)  # (k, m), becomes P(w|z)
+    doc_seed[:, 0] = np.sqrt(S[0]) * np.abs(U[:, 0])
+    word_seed[0, :] = np.sqrt(S[0]) * np.abs(Vt[0, :])
 
-    for j in range(1, k):
-        x, y = U[:, j], V[j, :]
-        x_p, y_p = np.maximum(x, 0), np.maximum(y, 0)
-        x_n, y_n = np.abs(np.minimum(x, 0)), np.abs(np.minimum(y, 0))
-        x_p_nrm, y_p_nrm = np.linalg.norm(x_p), np.linalg.norm(y_p)
-        x_n_nrm, y_n_nrm = np.linalg.norm(x_n), np.linalg.norm(y_n)
-        m_p, m_n = x_p_nrm * y_p_nrm, x_n_nrm * y_n_nrm
-        if m_p > m_n:
-            u = x_p / max(x_p_nrm, 1e-30)
-            v = y_p / max(y_p_nrm, 1e-30)
-            sigma = m_p
-        else:
-            u = x_n / max(x_n_nrm, 1e-30)
-            v = y_n / max(y_n_nrm, 1e-30)
-            sigma = m_n
-        lbd = np.sqrt(S[j] * sigma)
-        p_z_given_d[:, j] = lbd * u
-        p_w_given_z[j, :] = lbd * v
-
-    return p_z_given_d, p_w_given_z
+    # sign-split the trailing components all at once: columns of U, rows of Vt
+    u_pos, u_neg = np.clip(U[:, 1:], 0, None), np.clip(-U[:, 1:], 0, None)
+    v_pos, v_neg = np.clip(Vt[1:], 0, None), np.clip(-Vt[1:], 0, None)
+    u_pos_n, u_neg_n = (np.linalg.norm(u_pos, axis=0),
+                        np.linalg.norm(u_neg, axis=0))
+    v_pos_n, v_neg_n = (np.linalg.norm(v_pos, axis=1),
+                        np.linalg.norm(v_neg, axis=1))
+    pos_mass, neg_mass = u_pos_n * v_pos_n, u_neg_n * v_neg_n
+    keep_pos = pos_mass > neg_mass  # ties keep the negative half
+    u_half = np.where(keep_pos[None, :], u_pos, u_neg)
+    v_half = np.where(keep_pos[:, None], v_pos, v_neg)
+    u_norm = np.where(keep_pos, u_pos_n, u_neg_n)
+    v_norm = np.where(keep_pos, v_pos_n, v_neg_n)
+    weight = np.sqrt(S[1:] * np.where(keep_pos, pos_mass, neg_mass))
+    # normalize-then-scale (not a fused scale factor): keeps each element's
+    # op sequence — and therefore the float64 result — exactly stable
+    doc_seed[:, 1:] = weight * (u_half / np.maximum(u_norm, 1e-30))
+    word_seed[1:, :] = weight[:, None] * (v_half / np.maximum(v_norm, 1e-30)[:, None])
+    return doc_seed, word_seed
 
 
 def plsa_init(X, k, init="random", rng=None):

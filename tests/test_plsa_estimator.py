@@ -173,3 +173,23 @@ def test_refit_matches_oracle_loop(small_corpus):
         random_state=123, backend="xla",
     )
     np.testing.assert_allclose(got, pzd64, rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 9])
+def test_nndsvd_matches_sklearn_canonical(seed):
+    """The vectorized sign-split NNDSVD must reproduce sklearn's public
+    ``_initialize_nmf(init="nndsvd")`` (the algorithm the reference's init
+    was itself taken from) to float64 roundoff, across shapes and k."""
+    import scipy.sparse as sp
+    from sklearn.decomposition._nmf import _initialize_nmf
+
+    from enstop_tpu.ops.init import nndsvd_init
+
+    r = np.random.RandomState(seed)
+    X = sp.csr_matrix(
+        r.poisson(0.7, (50 + 11 * seed, 70 + 7 * seed)).astype(float))
+    k = 3 + seed % 4
+    W, H = _initialize_nmf(X, k, init="nndsvd", random_state=42)
+    doc_seed, word_seed = nndsvd_init(X, k, np.random.RandomState(42))
+    np.testing.assert_allclose(doc_seed, W, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(word_seed, H, rtol=0, atol=1e-12)
