@@ -320,3 +320,29 @@ def test_auto_default_runs_end_to_end(corpus):
     emb = m.fit_transform(X)
     assert emb.shape[0] == corpus.shape[0]
     assert np.isfinite(m.components_).all()
+
+
+@pytest.mark.parametrize("n_runs,seed", [(3, 5), (6, 23), (8, 41)])
+def test_sharded_trajectory_equality_across_shard_counts(n_runs, seed):
+    """VERDICT r04 item 7: fuzzed mesh-vs-single-chip trajectory equality for
+    the runs-sharded ensemble program.  n_runs of 3/6/8 land on 3/6/8 shards
+    of the 8-device mesh (incl. non-power-of-two), and with bootstrap off and
+    an identical explicit init every shard's fit must match the sequential
+    weights path run-for-run."""
+    r = np.random.RandomState(seed)
+    corpus = make_corpus(r, n_docs=40 + 7 * n_runs, n_words=60 + 5 * seed,
+                         avg_doc_len=40, n_topics_true=3)
+    X = sp.csr_matrix(corpus)
+    from enstop_tpu.ops.init import plsa_init
+
+    init = plsa_init(X, 3, rng=np.random.RandomState(seed))
+    sharded = ensemble_of_topics(
+        X, 3, n_runs=n_runs, parallelism="sharded", random_state=seed,
+        n_iter=12, bootstrap=False, init=init,
+    )
+    sequential = ensemble_of_topics(
+        X, 3, n_runs=n_runs, parallelism="weights", random_state=seed,
+        n_iter=12, bootstrap=False, init=init,
+    )
+    assert sharded.shape == (n_runs * 3, X.shape[1])
+    np.testing.assert_allclose(sharded, sequential, rtol=5e-3, atol=1e-5)

@@ -48,3 +48,11 @@ def test_live_backend_probe_timeout_semantics(monkeypatch):
     t0 = time.time()
     assert g._live_backend_responsive(0.5) is False
     assert time.time() - t0 < 5  # returned at the timeout, not after 30s
+
+
+def test_dryrun_multichip_6():
+    """Non-power-of-two device count (VERDICT r04 item 7): a 6-device dryrun
+    exercises the 3x2 mesh and 3-run runs-mesh shard-divisibility edges."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(6)

@@ -14,7 +14,7 @@ from enstop_tpu.ops.data import pad_dense_counts, pad_factors, pad_vector
 from enstop_tpu.ops import em as em_ops
 
 
-@pytest.fixture(params=[(8, 1), (4, 2), (2, 4)])
+@pytest.fixture(params=[(8, 1), (4, 2), (2, 4), (1, 8)])
 def mesh(request):
     rows, cols = request.param
     if len(jax.devices()) < rows * cols:
