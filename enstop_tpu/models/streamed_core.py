@@ -58,8 +58,13 @@ _pad_block_rows = sell_ops.pad_rows
 def _use_pallas():
     # the XLA SELL block ops measure as fast or faster than the Pallas chunk
     # kernels on TPU (see ops/sell.py:prepare_sell) and have no chunk-count
-    # ceiling; keep the chunk path available for experimentation
-    return False
+    # ceiling, so SELL is the default; ENSTOP_STREAMED_PALLAS=1 opts a fit
+    # into the Pallas chunk layout (kept for experimentation / future
+    # hardware where the chunk kernels win)
+    import os
+
+    return os.environ.get("ENSTOP_STREAMED_PALLAS", "").strip().lower() in (
+        "1", "true", "on")
 
 
 class _BlockStore:
