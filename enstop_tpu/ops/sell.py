@@ -282,6 +282,11 @@ def em_step_sell(
     """
     n, k = zd.shape
     m = wz.shape[1]
+    if segsum == "gather" and "doc_segs" not in dev:
+        raise ValueError(
+            "segsum='gather' needs the gather-form segment tables; pack with "
+            "pack_sell(build_tables=True) / prepare_sell(build_tables=True)"
+        )
     wzT = wz.T  # (m, k)
 
     # ---- pass 1 (doc-major): P(z|d) numerator + LL --------------------------
@@ -327,6 +332,11 @@ def em_step_sell(
 def refit_step_sell(dev, zd, wz, w=None, thresh=None, compute_ll=True, segsum="scatter"):
     """Frozen-topics step: only pass 1 (reference plsa.py:733-816)."""
     n, k = zd.shape
+    if segsum == "gather" and "doc_segs" not in dev:
+        raise ValueError(
+            "segsum='gather' needs the gather-form segment tables; pack with "
+            "pack_sell(build_tables=True) / prepare_sell(build_tables=True)"
+        )
     wzT = wz.T
     zd_rows = zd[dev["row_doc"]]
     contrib, s = _pass_contrib(zd_rows, dev["cols_a"], dev["vals_a"], wzT, thresh)
@@ -410,7 +420,8 @@ class PreparedSell:
         return (self.n, self.m)
 
 
-def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None):
+def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None,
+                 build_tables=False):
     """Pack + ship a corpus once for repeated sparse fits.
 
     ``kind="auto"`` uses the XLA SELL layout (measured default);
@@ -444,7 +455,7 @@ def prepare_sell(X, lane=None, standardize=True, kind="auto", bd=None, bw=None):
             ps.device_chunks(ch), ch.n, ch.m, ch.nnz, ch.chunk,
             kind="chunks", meta=(ch.bd, ch.bw, ch.n_pad, ch.m_pad),
         )
-    sides = pack_sell(X, lane=lane)
+    sides = pack_sell(X, lane=lane, build_tables=build_tables)
     return PreparedSell(device_arrays(sides), sides.n, sides.m, sides.nnz,
                         sides.lane, kind="sell", src=X)
 

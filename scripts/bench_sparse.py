@@ -91,7 +91,8 @@ def bench_sparse(X, k, segsum, iters=30):
     from enstop_tpu.ops.sell import prepare_sell, em_step_sell
     from enstop_tpu.ops.init import plsa_init
 
-    prep = prepare_sell(X, standardize=False, kind="sell")
+    prep = prepare_sell(X, standardize=False, kind="sell",
+                        build_tables=(segsum == "gather"))
     zd, wz = plsa_init(X, k, rng=np.random.RandomState(1))
     zd, wz = jnp.asarray(zd), jnp.asarray(wz)
 

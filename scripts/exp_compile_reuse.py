@@ -23,6 +23,8 @@ import time
 import numpy as np
 import scipy.sparse as sp
 
+sys.path.insert(0, ".")  # run from the repo root (PYTHONPATH breaks axon)
+
 
 def main():
     import jax
