@@ -32,6 +32,7 @@ class TPUPLSA(PLSA):
         transform_random_seed=42,
         random_state=None,
         backend="pallas",
+        precision="default",
     ):
         # parameter ORDER matches the reference exactly (cuda_plsa.py:357-368)
         # so positional construction like GPUPLSA(10, "random", 4, 4) binds
@@ -46,6 +47,7 @@ class TPUPLSA(PLSA):
             transform_random_seed=transform_random_seed,
             random_state=random_state,
             backend=backend,
+            precision=precision,
         )
         # Reference-signature compatibility (cuda_plsa.py:357-368): the CUDA
         # variant asks the USER for its tile-grid shape; here the Pallas

@@ -77,6 +77,7 @@ def plsa_topics(X, k, **kwargs):
         e_step_thresh=kwargs.get("e_step_thresh", 1e-16),
         random_state=kwargs.get("random_state", None),
         backend=kwargs.get("backend", "auto"),
+        precision=kwargs.get("precision", "default"),
     )
     return topics
 
@@ -472,6 +473,7 @@ def _ensemble_of_topics_device(
             n_iter_per_test=kwargs.get("n_iter_per_test", 10),
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
+            precision=kwargs.get("precision", "default"),
             x_dtype=kwargs.get("x_dtype", "auto"),
             prepared=kwargs.get("prepared"),
         )
@@ -671,11 +673,19 @@ def ensemble_fit(
     random_state=None,
     backend="auto",
     x_dtype="auto",
+    precision="default",
 ):
     """Full ensemble pipeline; returns ``(doc_vectors, stable_topics)``.
 
     Stage wall times land in ``ensemble_fit.last_timings`` (staging / runs /
     combine / refit) for observability.
+
+    ``precision``: matmul/E-step precision for the bootstrap fits and the
+    final refit (``"default"`` / ``"highest"`` / ``"fast"`` — see
+    :func:`enstop_tpu.ops.driver.plsa_fit`).  ``"fast"`` (bf16
+    responsibilities) perturbs each run's factors at bf16 rounding level; the
+    ensemble's topic clustering is designed to be stable under exactly this
+    kind of run-to-run jitter, so it is the recommended speed mode here.
     """
     import time as _time
 
@@ -729,6 +739,7 @@ def ensemble_fit(
         random_state=random_state,
         backend=backend,
         x_dtype=x_dtype,
+        precision=precision,
         prepared=prepared,
     )
 
@@ -765,6 +776,7 @@ def ensemble_fit(
             e_step_thresh=e_step_thresh,
             random_state=random_state,
             backend=backend,
+            precision=precision,
         )
     elif model == "nmf":
         from ..ops.nmf import nmf_fit_mu
@@ -817,6 +829,7 @@ class EnsembleTopics(TopicModelBase):
         random_state=None,
         backend="auto",
         x_dtype="auto",
+        precision="default",
     ):
         self.n_components = n_components
         self.model = model
@@ -840,6 +853,7 @@ class EnsembleTopics(TopicModelBase):
         self.random_state = random_state
         self.backend = backend
         self.x_dtype = x_dtype
+        self.precision = precision
 
     def fit_transform(self, X, y=None, **fit_params):
         from ..ops.driver import PreparedCounts
@@ -890,6 +904,7 @@ class EnsembleTopics(TopicModelBase):
             random_state=self.random_state,
             backend=self.backend,
             x_dtype=self.x_dtype,
+            precision=self.precision,
         )
         from ..ops.driver import PreparedCounts
         from ..ops.sell import PreparedSell
@@ -916,4 +931,5 @@ class EnsembleTopics(TopicModelBase):
             tolerance=0.001,
             random_state=random_state,
             backend=self.backend,
+            precision=self.precision,
         )

@@ -29,6 +29,12 @@ class PLSA(TopicModelBase):
     exact pre-normalization cutoff (plsa.py:97-102).  Measured at 20NG scale
     the ensemble's 1e-16 changes the final log-likelihood by 3e-6 relative
     (docs/PERFORMANCE.md).
+
+    ``precision``: ``"default"`` (bf16 MXU multiplies, f32 everything else),
+    ``"highest"`` (true f32 matmuls, ~2x slower steps), or ``"fast"`` (also
+    computes the E-step responsibilities in bf16 — measured ~20% faster
+    iterations on TPU at k<=100; the reached optimum is statistically
+    equivalent but no longer bit-comparable; see ops/driver.py:plsa_fit).
     """
 
     def __init__(
@@ -42,6 +48,7 @@ class PLSA(TopicModelBase):
         transform_random_seed=42,
         random_state=None,
         backend="auto",
+        precision="default",
     ):
         self.n_components = n_components
         self.init = init
@@ -52,6 +59,7 @@ class PLSA(TopicModelBase):
         self.transform_random_seed = transform_random_seed
         self.random_state = random_state
         self.backend = backend
+        self.precision = precision
 
     def fit_transform(self, X, y=None, sample_weight=None):
         """Fit and return the document embedding ``P(z|d)``.
@@ -79,6 +87,7 @@ class PLSA(TopicModelBase):
                 tolerance=self.tolerance,
                 e_step_thresh=self.e_step_thresh,
                 random_state=self.random_state,
+                precision=self.precision,
                 return_info=True,
             )
             self.embedding_, self.components_ = U, V
@@ -102,6 +111,7 @@ class PLSA(TopicModelBase):
             e_step_thresh=self.e_step_thresh,
             random_state=self.random_state,
             backend=self.backend,
+            precision=self.precision,
             return_info=True,
         )
         # Observability the reference computes but discards (plsa.py:630-638):
@@ -138,4 +148,5 @@ class PLSA(TopicModelBase):
             tolerance=0.001,
             random_state=random_state,
             backend=self.backend,
+            precision=self.precision,
         )

@@ -107,20 +107,50 @@ def _measured_variant(k, n=None):
     return measured_best_variant(int(k), kind, n=n)
 
 
-def _resolve_variant(k, n=None):
-    """env override > measured table > shipped (None)."""
+def _fast_variant(k, n):
+    """The bf16-responsibilities layout for ``precision="fast"``, when its
+    VMEM-resident ``(n, kp)`` B accumulator fits the kernel budget; ``None``
+    (caller falls through to the normal resolution at DEFAULT matmul
+    precision) when it does not."""
+    from .kernel_select import _RESIDENT_B_BUDGET_BYTES
+
+    kp = -(-max(int(k), 1) // 8) * 8
+    if n is not None and int(n) * kp * 4 > _RESIDENT_B_BUDGET_BYTES:
+        import warnings
+
+        warnings.warn(
+            "precision='fast' needs the whole (n, k) document accumulator "
+            f"resident in VMEM; n={n}, k={k} exceeds the budget — running "
+            "the exact f32-responsibilities kernel at DEFAULT matmul "
+            "precision instead",
+            stacklevel=4,
+        )
+        return None
+    return "jo_res_bf16r"
+
+
+def _resolve_variant(k, n=None, precision=None):
+    """env override > precision="fast" request > measured table > shipped
+    (None)."""
     v = _env_kernel_variant()
     if v == "shipped":
         return None
     if v is not None:
         return v
+    if precision == "fast":
+        fast = _fast_variant(k, n)
+        if fast is not None:
+            return fast
     return _measured_variant(k, n=n)
 
 
 def _resolve_precision(precision):
     if precision in (None, "highest"):
         return jax.lax.Precision.HIGHEST
-    if precision == "default":
+    # "fast" = DEFAULT matmul precision + the bf16-responsibilities kernel
+    # layout (resolved in _resolve_variant); by the time the matmul precision
+    # matters they are the same bf16 MXU inputs.
+    if precision in ("default", "fast"):
         return jax.lax.Precision.DEFAULT
     return precision
 
@@ -295,7 +325,7 @@ def em_accumulators_fused(X, p_z_given_d, p_w_given_z, sample_weight=None,
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    variant = _resolve_variant(p_z_given_d.shape[1], n=n)
+    variant = _resolve_variant(p_z_given_d.shape[1], n=n, precision=precision)
     if variant:
         # Grid-layout variant: either the ENSTOP_EM_KERNEL override (lets
         # bench.py / the TPU queue measure a candidate through the
@@ -385,7 +415,7 @@ def refit_step_fused(X, p_z_given_d, p_w_given_z, sample_weight=None, bd=None, b
     n, m = X.shape
     bd, bw = pick_block_shape(n, m, bd, bw)
     w = _weights_col(sample_weight, n)
-    refit_variant = _resolve_variant(p_z_given_d.shape[1], n=n)
+    refit_variant = _resolve_variant(p_z_given_d.shape[1], n=n, precision=precision)
     if refit_variant:
         from .pallas_em_variants import refit_accumulator_variant
 
