@@ -22,12 +22,19 @@ if not _bench._device_responsive(180):  # short budget: stay under the 600 s tas
 
 
 def main():
+    import os
+
     import jax
 
     from bench import synthetic_20ng
     from enstop_tpu import EnsembleTopics
 
-    print("# backend:", jax.default_backend(), file=sys.stderr, flush=True)
+    # ENSTOP_BENCH_PRECISION=fast measures the bf16-responsibilities opt-in
+    # (precision="fast"); sharded is skipped there (precision is a dense
+    # Pallas knob — the sharded program doesn't thread it)
+    prec = os.environ.get("ENSTOP_BENCH_PRECISION", "default")
+    print("# backend:", jax.default_backend(), "precision:", prec,
+          file=sys.stderr, flush=True)
     X = synthetic_20ng()
     print(f"# corpus: {X.shape}, nnz={X.nnz}", file=sys.stderr, flush=True)
 
@@ -35,17 +42,19 @@ def main():
     # the loop programs are shape-stable so this compiles everything)
     t0 = time.time()
     EnsembleTopics(n_components=20, n_starts=2, n_iter=10,
-                   random_state=0).fit(X[:2048])
+                   random_state=0, precision=prec).fit(X[:2048])
     print(f"# warmup (compile) {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     # the small-slice fit compiles different X shapes; warm the full-shape
     # programs too with a single-start fit
     t0 = time.time()
-    EnsembleTopics(n_components=20, n_starts=1, n_iter=10, random_state=0).fit(X)
+    EnsembleTopics(n_components=20, n_starts=1, n_iter=10, random_state=0,
+                   precision=prec).fit(X)
     print(f"# full-shape warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     from enstop_tpu.models.ensemble import ensemble_fit
 
-    for par in ("weights", "sharded"):
+    modes = ("weights",) if prec != "default" else ("weights", "sharded")
+    for par in modes:
         # warm the sharded program too
         if par == "sharded":
             t0 = time.time()
@@ -58,11 +67,13 @@ def main():
         for rep in range(reps):
             t0 = time.time()
             model = EnsembleTopics(n_components=20, n_starts=16, n_iter=80,
-                                   parallelism=par, random_state=42).fit(X)
+                                   parallelism=par, random_state=42,
+                                   precision=prec).fit(X)
             wall = time.time() - t0
             walls.append(wall)
+            suffix = "" if prec == "default" else f"_{prec}"
             print(json.dumps({
-                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}",
+                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}{suffix}",
                 "rep": rep,
                 "value": round(wall, 2),
                 "n_components_": int(model.n_components_),
@@ -73,7 +84,7 @@ def main():
             }))
         if reps > 1:
             print(json.dumps({
-                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}_best",
+                "metric": f"ensemble_e2e_wall_s_20ng_k20_16runs_{par}{suffix}_best",
                 "value": round(min(walls), 2),
                 "median": round(sorted(walls)[len(walls) // 2], 2),
             }))
