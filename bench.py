@@ -348,10 +348,12 @@ def _bench_body():
         # this SAME program produced on real hardware (clearly labeled as
         # historical — see docs/PERFORMANCE.md for methodology and date)
         record["last_tpu_measurement"] = {
-            "value_gupdates_per_s": 17.55,
-            "vs_baseline": 106.1,
-            "date": "round 2 (docs/PERFORMANCE.md headline; relay dead "
-                    "since, queue armed: scripts/relay_watch.sh)",
+            "value_gupdates_per_s": 17.87,
+            "vs_baseline": 108.1,
+            "date": "round 5, 2026-08-18, live relay, THIS program, three "
+                    "runs 17.46-17.87 backend:tpu "
+                    "(logs/tpu_queue_r5/tpu_q5_bench*.log; precision='fast' "
+                    "opt-in measured 24.48 = 148x, tpu_q5_fast_fit.log)",
         }
     print(json.dumps(record))
     print(
