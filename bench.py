@@ -213,7 +213,20 @@ def main():
         # default_backend() is itself the first call to hang forever — and
         # the watchdog was just disarmed by done.set() (ADVICE r04).  The
         # ladder's rungs are keyed by ENSTOP_BENCH_FORCE_CPU anyway.
-        if not os.environ.get("ENSTOP_BENCH_FORCE_CPU"):
+        # One refinement: peeking at the set of ALREADY-INITIALIZED backends
+        # (xla_bridge._backends — a dict read, never triggers init) tells us
+        # when the failed run was already CPU-only; a FORCE_CPU re-exec would
+        # just repeat the same deterministic failure and stamp a false
+        # "tpu bench raised" fallback_reason on a run that never saw a TPU.
+        already_cpu_only = False
+        try:
+            from jax._src import xla_bridge as _xb
+
+            _bs = getattr(_xb, "_backends", None) or {}
+            already_cpu_only = bool(_bs) and all(p == "cpu" for p in _bs)
+        except Exception:
+            pass
+        if not os.environ.get("ENSTOP_BENCH_FORCE_CPU") and not already_cpu_only:
             _reexec(
                 {"ENSTOP_BENCH_FORCE_CPU": "1", "ENSTOP_AOT_CACHE": "0",
                  "ENSTOP_BENCH_FALLBACK_REASON":

@@ -154,12 +154,27 @@ def resolve_parallelism(parallelism, model="plsa", backend="auto",
     """
     from ..ops.sell import PreparedSell
 
+    sparse_input = backend == "sparse" or isinstance(prepared, PreparedSell)
     if parallelism == "auto":
         if model != "plsa":
             return "resample"
-        if backend == "sparse" or isinstance(prepared, PreparedSell):
+        if sparse_input:
             return "weights"
-        return "sharded" if (_n_devices() > 1 and n_runs > 1) else "weights"
+        # "sharded" only when the runs genuinely divide across >1 device:
+        # mirror _sharded_plsa_runs' shard count (largest divisor of n_runs
+        # <= n_devices) so e.g. 5 runs on 2 devices — where the SPMD program
+        # would degenerate to the measured-slower 1-shard mode — route to
+        # "weights" instead
+        n_shards = min(_n_devices(), int(n_runs)) if n_runs else 1
+        while n_shards > 1 and n_runs % n_shards:
+            n_shards -= 1
+        return "sharded" if n_shards > 1 else "weights"
+    if parallelism == "sharded" and model == "plsa" and sparse_input:
+        raise ValueError(
+            "parallelism='sharded' has no sparse (SELL) variant — the O(nnz) "
+            "resident fan-out IS the sparse program; use parallelism='weights' "
+            "or 'auto' with backend='sparse'"
+        )
     if parallelism == "sharded" and model == "plsa" and _n_devices() == 1:
         import warnings
 
@@ -327,7 +342,8 @@ def _sparse_resident_plsa_runs(X, k, n_runs, rng, prepared, bootstrap=True,
 
 def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
                        n_iter=100, n_iter_per_test=10, tolerance=0.001,
-                       backend="auto", prepared=None):
+                       backend="auto", precision="default", x_dtype="auto",
+                       prepared=None):
     """All bootstrap fits in one compiled SPMD program, runs sharded over
     devices (see parallel/mesh.py:build_ensemble_runs_sharded)."""
     from ..parallel import mesh as mesh_lib
@@ -343,7 +359,8 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     if prepared is None:
         from ..ops.driver import prepare_counts
 
-        prepared = prepare_counts(X, backend=backend, standardize=False)
+        prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
+                                  standardize=False)
     Xd = prepared.device_array
     n, m = prepared.n, prepared.m
     n_pad, m_pad = Xd.shape
@@ -385,7 +402,8 @@ def _sharded_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
     Xs = put(Xd, P())
     ws = put(np.stack(ws), P("runs"))
 
-    run = mesh_lib.build_ensemble_runs_sharded(mesh, inner=inner)
+    run = mesh_lib.build_ensemble_runs_sharded(mesh, inner=inner,
+                                               precision=precision)
     _, wz_f, _, _ = run(
         Xs, zds, wzs, ws, jnp.float32(tolerance),
         jnp.int32(n_iter), jnp.int32(n_iter_per_test),
@@ -458,6 +476,8 @@ def _ensemble_of_topics_device(
             n_iter_per_test=kwargs.get("n_iter_per_test", 10),
             tolerance=kwargs.get("tolerance", 0.001),
             backend=kwargs.get("backend", "auto"),
+            precision=kwargs.get("precision", "default"),
+            x_dtype=kwargs.get("x_dtype", "auto"),
             prepared=kwargs.get("prepared"),
         )
     if model == "plsa" and parallelism == "weights":

@@ -74,13 +74,17 @@ def mesh_layout_multiples(mesh, inner="xla"):
     return rd * 8, cd * 128
 
 
-def _local_accumulators(inner, compute_ll=True):
+def _local_accumulators(inner, compute_ll=True, precision="default"):
+    # ``precision`` only reaches the fused-kernel inner: the XLA dense ops
+    # have no precision knob (same contract as ops/driver._get_steps, whose
+    # "xla" backend ignores it too)
     if inner == "pallas":
         from ..ops import pallas_em
 
         def accum(X, zd, wz, w):
             return pallas_em.em_accumulators_fused(
-                X, zd, wz, sample_weight=w, compute_ll=compute_ll
+                X, zd, wz, sample_weight=w, compute_ll=compute_ll,
+                precision=precision,
             )
 
     else:
@@ -207,7 +211,7 @@ def make_runs_mesh(n_shards=None, devices=None):
 
 
 @lru_cache(maxsize=16)
-def build_ensemble_runs_sharded(mesh, inner="xla"):
+def build_ensemble_runs_sharded(mesh, inner="xla", precision="default"):
     """All bootstrap fits as ONE compiled program: the corpus is replicated, the
     per-run factors/weights are sharded over the ``runs`` axis, and each device
     sweeps its local runs with ``lax.map`` — each element running the full
@@ -217,13 +221,13 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
     (enstop_.py:209-229) with SPMD over chips; with one device it still wins by
     removing all host dispatch between runs.
     """
-    accum_ll = _local_accumulators(inner, compute_ll=True)
-    accum = _local_accumulators(inner, compute_ll=False)
+    accum_ll = _local_accumulators(inner, compute_ll=True, precision=precision)
+    accum = _local_accumulators(inner, compute_ll=False, precision=precision)
     if inner == "pallas":
         from ..ops import pallas_em
 
         local_ll = lambda X, zd, wz, w: pallas_em.log_likelihood_fused(
-            X, zd, wz, sample_weight=w
+            X, zd, wz, sample_weight=w, precision=precision
         )
     else:
         local_ll = em_ops.log_likelihood_dense
@@ -267,7 +271,10 @@ def build_ensemble_runs_sharded(mesh, inner="xla"):
 
     from ..aot_cache import maybe_wrap
 
-    return maybe_wrap(run, name=f"ensruns-{inner}")
+    # keep the historical cache key for the default precision so existing
+    # AOT disk entries stay valid
+    suffix = "" if precision == "default" else f"-{precision}"
+    return maybe_wrap(run, name=f"ensruns-{inner}{suffix}")
 
 
 def shard_factors(mesh, zd, wz, w):

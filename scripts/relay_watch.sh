@@ -15,10 +15,15 @@ while true; do
     bash "$QUEUE"
     echo "queue finished at $(date +%T)"
     # persist the evidence (probe timeline + per-step logs) into the repo so
-    # the round artifacts show the queue was armed and what it measured
+    # the round artifacts show the queue was armed and what it measured.
+    # Only logs written since THIS queue launch: /tmp keeps logs from prior
+    # rounds forever, and a bare glob would sweep stale measurements into the
+    # current round's evidence dir.
     mkdir -p "$LOGDIR"
-    cp -f /tmp/relay_watch*.log /tmp/tpu_queue*.log /tmp/tpu_q*_*.log \
-      "$LOGDIR/" 2>/dev/null || true
+    for f in /tmp/relay_watch*.log /tmp/tpu_queue*.log /tmp/tpu_q*_*.log; do
+      [ -e "$f" ] && [ "$f" -nt /tmp/relay_alive ] && cp -f "$f" "$LOGDIR/"
+    done
+    cp -f /tmp/relay_watch.log "$LOGDIR/" 2>/dev/null || true
     git add "$LOGDIR" && \
       git commit -m "TPU queue logs: live-relay measurement evidence" \
         -- "$LOGDIR" || true

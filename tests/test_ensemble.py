@@ -7,6 +7,7 @@ import scipy.sparse as sp
 from conftest import make_corpus
 from enstop_tpu import EnsembleTopics
 from enstop_tpu.models.ensemble import (
+    ensemble_fit,
     ensemble_of_topics,
     generate_combined_topics_hellinger,
     generate_combined_topics_hellinger_umap,
@@ -281,6 +282,52 @@ def test_resolve_parallelism_routing(monkeypatch):
     # explicit strings are honored unchanged
     for p in ("weights", "sharded", "resample", "none", "joblib", "dask"):
         assert ens.resolve_parallelism(p, n_runs=8) == p
+    # runs that cannot divide across >1 device must NOT route to sharded:
+    # the SPMD program would degenerate to the measured-slower 1-shard mode
+    assert ens.resolve_parallelism("auto", n_runs=11) == "weights"  # prime > 8
+    monkeypatch.setattr(ens, "_n_devices", lambda: 2)
+    assert ens.resolve_parallelism("auto", n_runs=5) == "weights"
+    assert ens.resolve_parallelism("auto", n_runs=6) == "sharded"
+
+
+def test_explicit_sharded_rejects_sparse(monkeypatch):
+    """There is no sharded SELL variant: the explicit string must fail loudly
+    at validation (ValueError), not deep in the fan-out with AttributeError."""
+    from enstop_tpu.models import ensemble as ens
+
+    monkeypatch.setattr(ens, "_n_devices", lambda: 8)
+    with pytest.raises(ValueError, match="SELL"):
+        ens.resolve_parallelism("sharded", backend="sparse")
+
+    from enstop_tpu.ops.sell import prepare_sell
+
+    X = sp.csr_matrix(
+        np.random.RandomState(0).poisson(1.0, (30, 20)).astype(np.float32))
+    prepared = prepare_sell(X, standardize=False)
+    with pytest.raises(ValueError, match="SELL"):
+        ens.resolve_parallelism("sharded", prepared=prepared)
+    with pytest.raises(ValueError, match="SELL"):
+        ensemble_fit(prepared, 2, n_starts=2, n_iter=5,
+                     parallelism="sharded")
+
+
+def test_sharded_path_threads_precision(corpus):
+    """precision must reach the sharded bootstrap fits (review r05): with the
+    pallas inner and identical draws, 'fast' (bf16 responsibilities) must
+    produce different topics than 'default' — equality would mean the knob
+    was silently dropped on the sharded route."""
+    from enstop_tpu.models.ensemble import _ensemble_of_topics_device
+
+    X = sp.csr_matrix(corpus)
+    kw = dict(n_runs=4, parallelism="sharded", backend="pallas",
+              bootstrap=False, n_iter=8, random_state=7)
+    t_default = np.asarray(
+        _ensemble_of_topics_device(X, 3, precision="default", **kw))
+    t_fast = np.asarray(
+        _ensemble_of_topics_device(X, 3, precision="fast", **kw))
+    assert t_default.shape == t_fast.shape
+    assert np.isfinite(t_fast).all()
+    assert not np.array_equal(t_default, t_fast)
 
 
 def test_explicit_sharded_on_one_device_warns(monkeypatch):
