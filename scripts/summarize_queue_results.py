@@ -26,6 +26,12 @@ def read_step(base, name):
     for prefix in ("tpu_q5_", "tpu_q4_"):
         text = read(Path(base) / f"{prefix}{name}.log")
         if text:
+            if prefix == "tpu_q4_":
+                # never silently report a prior generation's numbers as
+                # the current round's results
+                print(f"WARNING: {name}: using STALE {prefix}{name}.log "
+                      "(no tpu_q5_ log found)", file=sys.stderr)
+                text = f"[STALE {prefix} log]\n" + text
             return text
     return ""
 
