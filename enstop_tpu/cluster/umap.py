@@ -256,7 +256,13 @@ def _optimize_layout_device(emb, W, n_epochs, a, b, seed,
     key = (emb.shape[0], emb.shape[1], Ep, int(negative_sample_rate))
     fn = _layout_fn_cache.get(key)
     if fn is None:
-        fn = _layout_fn(*key)
+        # the epoch fori_loop is a medium-size XLA program — on the tunneled
+        # backend a fresh process pays its remote compile, so it goes through
+        # the same AOT disk cache as the fit programs (inert unless
+        # ENSTOP_AOT_CACHE=1)
+        from ..aot_cache import maybe_wrap
+
+        fn = maybe_wrap(_layout_fn(*key), name="umap-layout")
         _layout_fn_cache[key] = fn
     out = fn(
         jnp.asarray(emb, jnp.float32), jnp.asarray(h), jnp.asarray(t),

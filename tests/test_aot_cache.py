@@ -279,3 +279,35 @@ def test_fit_program_roundtrip_through_estimator(aot_env):
 
     np.testing.assert_array_equal(m1.components_, m2.components_)
     assert [p for p in aot_env.iterdir() if p.suffix == ".pkl"]
+
+
+def test_umap_device_layout_roundtrips_through_cache(aot_env):
+    """The ensemble's device UMAP-SGD program (cluster/umap.py:_layout_fn)
+    goes through the same disk cache as the fit programs: first use writes
+    an entry, a fresh wrapper (fresh-process stand-in) reloads it and
+    produces an identical layout."""
+    from enstop_tpu.cluster import umap as um
+
+    rng = np.random.RandomState(0)
+    n = 40
+    W = np.zeros((n, n))
+    for i in range(n):
+        j = (i + 1) % n
+        W[i, j] = W[j, i] = 0.8
+    emb = rng.normal(size=(n, 2)).astype(np.float32)
+
+    um._layout_fn_cache.clear()
+    out1 = um._optimize_layout_device(emb.copy(), W, n_epochs=5,
+                                      a=1.58, b=0.9, seed=3)
+    (w1,) = um._layout_fn_cache.values()
+    assert w1.stats["disk_misses"] == 1
+    assert any(p.name.startswith("umap-layout-") and p.suffix == ".pkl"
+               for p in aot_env.iterdir())
+
+    um._layout_fn_cache.clear()
+    out2 = um._optimize_layout_device(emb.copy(), W, n_epochs=5,
+                                      a=1.58, b=0.9, seed=3)
+    (w2,) = um._layout_fn_cache.values()
+    assert w2.stats["disk_hits"] == 1
+    np.testing.assert_array_equal(out1, out2)
+    um._layout_fn_cache.clear()
