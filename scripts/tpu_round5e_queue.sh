@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-5e TPU queue — disambiguate the round-5d fresh-process result
+# (cold 12.7 s vs reload 62.2 s: window drift or reload cost?).  Three fresh
+# processes over the ALREADY-POPULATED round-5d cache dir, bracketing a
+# no-cache compile baseline between two reload runs so relay-window drift is
+# visible inside the measurement itself:
+#   1. reload (AOT=1)  2. no-cache baseline (AOT=0)  3. reload again (AOT=1)
+#
+# Usage:  RELAY_QUEUE=scripts/tpu_round5e_queue.sh RELAY_LOGDIR=logs/tpu_queue_r5e \
+#           nohup bash scripts/relay_watch.sh > /tmp/relay_watch5e.log 2>&1 &
+
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONUNBUFFERED=1
+
+step() {
+  local name="$1"; shift
+  echo "=== $name: $(date +%T) ==="
+  timeout "${STEP_TIMEOUT:-2400}" "$@" > "/tmp/tpu_q5_${name}.log" 2>&1
+  echo "=== $name done rc=$? $(date +%T) (log: /tmp/tpu_q5_${name}.log) ==="
+}
+
+if ! timeout 200 python bench.py --probe 150; then
+  echo "relay DEAD — aborting queue"
+  exit 1
+fi
+echo "relay alive"
+
+AOT_DIR=/tmp/aot_probe_ens_q5d   # keep the round-5d entries: reload path
+if [ ! -d "$AOT_DIR" ] || [ -z "$(ls "$AOT_DIR" 2>/dev/null)" ]; then
+  echo "cache dir empty — seeding with one cold run first"
+  mkdir -p "$AOT_DIR"
+  ENSTOP_AOT_CACHE=1 ENSTOP_AOT_DIR="$AOT_DIR" STEP_TIMEOUT=3600 \
+    step fresh_ens_seed python scripts/exp_fresh_process_ensemble.py
+fi
+
+ENSTOP_AOT_CACHE=1 ENSTOP_AOT_DIR="$AOT_DIR" STEP_TIMEOUT=3600 \
+  step fresh_ens_reload_a python scripts/exp_fresh_process_ensemble.py
+
+ENSTOP_AOT_CACHE=0 STEP_TIMEOUT=3600 \
+  step fresh_ens_nocache python scripts/exp_fresh_process_ensemble.py
+
+ENSTOP_AOT_CACHE=1 ENSTOP_AOT_DIR="$AOT_DIR" STEP_TIMEOUT=3600 \
+  step fresh_ens_reload_b python scripts/exp_fresh_process_ensemble.py
+
+echo "=== queue complete $(date +%T) ==="
