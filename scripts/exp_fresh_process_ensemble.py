@@ -49,12 +49,17 @@ def main():
     for w in aot_cache._WRAPPERS:
         for k in stats:
             stats[k] += w.stats[k]
+    from enstop_tpu.models.ensemble import ensemble_fit
+
+    stages = {k: round(v, 2)
+              for k, v in getattr(ensemble_fit, "last_timings", {}).items()}
     rec = {
         "metric": "ensemble_fresh_process_wall_s",
         "value": round(fit_wall, 2),
         "unit": "s (first full fit of a fresh process, compiles included)",
         "process_wall_s": round(time.time() - t_start, 2),
         "aot": stats,
+        "stages": stages,
         "backend": jax.default_backend(),
         "precision": prec,
         "n_topics_found": int(model.n_components_),
