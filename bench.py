@@ -219,18 +219,24 @@ def main():
         # just repeat the same deterministic failure and stamp a false
         # "tpu bench raised" fallback_reason on a run that never saw a TPU.
         already_cpu_only = False
+        backend_seen = False
         try:
             from jax._src import xla_bridge as _xb
 
             _bs = getattr(_xb, "_backends", None) or {}
+            backend_seen = bool(_bs)
             already_cpu_only = bool(_bs) and all(p == "cpu" for p in _bs)
         except Exception:
             pass
         if not os.environ.get("ENSTOP_BENCH_FORCE_CPU") and not already_cpu_only:
+            # phase-accurate reason: with no backend initialized yet, the
+            # failure cannot be blamed on the TPU (it may be a CPU-only host)
+            phase = "tpu bench" if backend_seen else \
+                "bench (before backend init)"
             _reexec(
                 {"ENSTOP_BENCH_FORCE_CPU": "1", "ENSTOP_AOT_CACHE": "0",
                  "ENSTOP_BENCH_FALLBACK_REASON":
-                     f"tpu bench raised {type(e).__name__}: {str(e)[:160]}"},
+                     f"{phase} raised {type(e).__name__}: {str(e)[:160]}"},
                 f"bench raised {type(e).__name__}; retrying on CPU")
         # CPU with the cache off still failed: record the failure honestly
         # rather than crash the driver artifact

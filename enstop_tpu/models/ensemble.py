@@ -250,6 +250,10 @@ def _device_resident_plsa_runs(X, k, n_runs, rng, bootstrap=True, init="random",
             prepared = prepare_counts(X, backend=backend, x_dtype=x_dtype,
                                       standardize=False)
     if isinstance(prepared, PreparedSell):
+        if precision == "fast":
+            from ..ops.driver import _warn_fast_unsupported
+
+            _warn_fast_unsupported("sparse (SELL) ensemble fan-out")
         return _sparse_resident_plsa_runs(
             X, k, n_runs, rng, prepared, bootstrap=bootstrap, init=init,
             n_iter=n_iter, n_iter_per_test=n_iter_per_test, tolerance=tolerance,
@@ -459,6 +463,9 @@ def _ensemble_of_topics_device(
                 parallelism, tuple(sorted(known))
             )
         )
+    # idempotent when ensemble_fit already resolved the mode: concrete
+    # strings pass through, and the explicit-'sharded'-on-1-chip warning
+    # dedups under the default warnings filter (same emission site)
     parallelism = resolve_parallelism(
         parallelism, model=model, backend=kwargs.get("backend", "auto"),
         n_runs=n_runs, prepared=kwargs.get("prepared"),
@@ -518,14 +525,18 @@ def _ensemble_of_topics_device(
         # concurrency only helps when the fits run on the host CPU (XLA
         # releases the GIL during execution); on an accelerator the runs
         # serialize on one device anyway and threads just add contention.
-        if jax.default_backend() == "cpu" and n_jobs != 1 and n_runs > 1:
+        # nmf solver="cd" is sklearn host work even on a device backend.
+        host_bound = jax.default_backend() == "cpu" or (
+            model == "nmf" and kwargs.get("solver", "mu") == "cd"
+        )
+        if host_bound and n_jobs != 1 and n_runs > 1:
             import os
             from concurrent.futures import ThreadPoolExecutor
 
             workers = n_jobs if n_jobs > 0 else (os.cpu_count() or 1)
             with ThreadPoolExecutor(max_workers=min(workers, n_runs)) as ex:
                 return np.vstack(list(ex.map(one_run, seeds)))
-        elif jax.default_backend() != "cpu":
+        elif not host_bound:
             import warnings
 
             warnings.warn(
@@ -706,6 +717,9 @@ def ensemble_fit(
     responsibilities) perturbs each run's factors at bf16 rounding level; the
     ensemble's topic clustering is designed to be stable under exactly this
     kind of run-to-run jitter, so it is the recommended speed mode here.
+    On ``backend="sparse"`` the fan-out runs the O(nnz) SELL kernels, which
+    have no bf16-responsibilities mode — ``"fast"`` warns and runs at
+    default precision there.
     """
     import time as _time
 

@@ -30,6 +30,16 @@ from .data import pad_dense_counts, pad_factors, pad_vector, unpad_factors
 from .fit import em_fit_loop
 from .init import plsa_init
 
+
+def _warn_fast_unsupported(path):
+    import warnings
+
+    warnings.warn(
+        "precision='fast' (bf16 E-step responsibilities) is a dense Pallas "
+        "kernel mode; the {} path runs at default precision".format(path),
+        stacklevel=3,
+    )
+
 __all__ = ["plsa_fit", "plsa_refit", "resolve_backend"]
 
 
@@ -396,7 +406,8 @@ def plsa_fit(
     the factors are no longer bit-comparable to the exact kernels, but the
     EM optimum reached is statistically equivalent (tests/test_fast_precision.py
     pins convergence bands).  Falls back to ``"default"`` when the resident
-    accumulator exceeds VMEM (very large corpora) and on non-Pallas backends.
+    accumulator exceeds VMEM (very large corpora) and on non-Pallas backends;
+    the sparse (SELL) path warns when it drops the mode.
     """
     rng = check_random_state(random_state)
 
@@ -407,6 +418,8 @@ def plsa_fit(
             backend = "sparse"  # the only path with exact thresh semantics
 
     if isinstance(X, PreparedSell) or backend == "sparse":
+        if precision == "fast":
+            _warn_fast_unsupported("sparse (SELL)")
         return _plsa_fit_sparse(
             X, k, sample_weight=sample_weight, init=init, n_iter=n_iter,
             n_iter_per_test=n_iter_per_test, tolerance=tolerance,
@@ -539,6 +552,8 @@ def plsa_refit(
     p_z_given_d = p_z_given_d.astype(np.float32)
 
     if isinstance(X, PreparedSell) or backend == "sparse":
+        if precision == "fast":
+            _warn_fast_unsupported("sparse (SELL) refit")
         from .sell import prepare_sell, sell_refit
 
         prep = X if isinstance(X, PreparedSell) else prepare_sell(X, standardize=False)

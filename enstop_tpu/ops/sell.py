@@ -612,6 +612,11 @@ def _fallback_to_chunks(prep, err, first_use=True):
     # triggering a minutes-long repack against a possibly-dead device
     # (ADVICE r04).
     msg = str(err).lower()
+    # Deliberately broad (e.g. bare "unavailable"/"transport"): the cost
+    # asymmetry favors it.  A compile rejection misread as execution-phase
+    # surfaces a raw error the user can retry with kind='chunks'; a transport
+    # error misread as a compile rejection triggers a host repack plus a
+    # fresh compile against a dead device, which hangs for minutes.
     _EXEC_PHASE_MARKERS = (
         "buffer definition event",   # result-readback failure
         "deadline_exceeded", "deadline exceeded",

@@ -30,8 +30,11 @@ def main():
     from enstop_tpu import EnsembleTopics
 
     # ENSTOP_BENCH_PRECISION=fast measures the bf16-responsibilities opt-in
-    # (precision="fast"); sharded is skipped there (precision is a dense
-    # Pallas knob — the sharded program doesn't thread it)
+    # (precision="fast").  The sharded mode DOES thread precision (device-
+    # smoked: logs/tpu_queue_r5c/sharded_fast_smoke.log), but it is skipped
+    # in fast A/B runs to keep the queue short: sharded-on-1-chip is the
+    # measured ~29 s/rep slow mode and the fast A/B targets the headline
+    # weights program
     prec = os.environ.get("ENSTOP_BENCH_PRECISION", "default")
     print("# backend:", jax.default_backend(), "precision:", prec,
           file=sys.stderr, flush=True)

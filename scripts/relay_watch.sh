@@ -20,10 +20,12 @@ while true; do
     # rounds forever, and a bare glob would sweep stale measurements into the
     # current round's evidence dir.
     mkdir -p "$LOGDIR"
+    # (a live watcher's own log keeps appending after relay_alive is
+    # touched, so this filter still captures it — no unconditional copy,
+    # which would re-import a stale prior-round file)
     for f in /tmp/relay_watch*.log /tmp/tpu_queue*.log /tmp/tpu_q*_*.log; do
       [ -e "$f" ] && [ "$f" -nt /tmp/relay_alive ] && cp -f "$f" "$LOGDIR/"
     done
-    cp -f /tmp/relay_watch.log "$LOGDIR/" 2>/dev/null || true
     git add "$LOGDIR" && \
       git commit -m "TPU queue logs: live-relay measurement evidence" \
         -- "$LOGDIR" || true

@@ -358,6 +358,31 @@ def test_joblib_thread_pool_matches_sequential(corpus):
     np.testing.assert_array_equal(seq, dask)
 
 
+def test_joblib_nmf_cd_is_host_bound_even_on_device_backends(corpus, monkeypatch):
+    """model='nmf' with solver='cd' is sklearn host work: the joblib thread
+    pool must engage (without the device-bound warning) even when the jax
+    backend is an accelerator, while model='plsa' still warns+serializes."""
+    import warnings as _w
+
+    from enstop_tpu.models import ensemble as ens
+
+    X = sp.csr_matrix(corpus)
+    kw = dict(n_runs=3, random_state=11, n_iter=10)
+    seq = ensemble_of_topics(X, 3, parallelism="resample", n_jobs=1,
+                             model="nmf", solver="cd", **kw)
+
+    monkeypatch.setattr(ens.jax, "default_backend", lambda: "tpu")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        pooled = ensemble_of_topics(X, 3, parallelism="joblib", n_jobs=3,
+                                    model="nmf", solver="cd", **kw)
+    np.testing.assert_array_equal(seq, pooled)
+
+    with pytest.warns(UserWarning, match="device-bound"):
+        ensemble_of_topics(X, 3, parallelism="joblib", n_jobs=3,
+                           model="nmf", solver="mu", **kw)
+
+
 def test_auto_default_runs_end_to_end(corpus):
     """The estimator default is 'auto'; on the 8-virtual-device test mesh it
     routes to the sharded SPMD program and must fit fine end-to-end."""

@@ -174,3 +174,28 @@ def test_fast_fit_quality_band(monkeypatch):
     # ARI 0.4277 / AMI 0.4148 here)
     assert ari > 0.30, f"fast-mode ARI {ari:.4f} below band"
     assert ami > 0.30, f"fast-mode AMI {ami:.4f} below band"
+
+
+# ---------------------------------------------------------------------------
+# sparse (SELL) paths cannot honor fast mode: they must say so, not drop it
+# ---------------------------------------------------------------------------
+
+def test_fast_on_sparse_paths_warns():
+    import scipy.sparse as sp
+
+    from enstop_tpu.models.ensemble import ensemble_of_topics
+    from enstop_tpu.ops.driver import plsa_fit, plsa_refit
+
+    X, _ = synthetic_corpus(n_docs=96, n_words=256, n_topics=4,
+                            tokens_per_doc=40, seed=5)
+    Xs = sp.csr_matrix(X)
+    with pytest.warns(UserWarning, match="default precision"):
+        _, topics = plsa_fit(Xs, 4, backend="sparse", precision="fast",
+                             n_iter=4, n_iter_per_test=2, random_state=0)
+    with pytest.warns(UserWarning, match="default precision"):
+        plsa_refit(Xs, topics, backend="sparse", precision="fast",
+                   n_iter=2, random_state=0)
+    with pytest.warns(UserWarning, match="default precision"):
+        ensemble_of_topics(Xs, 4, n_runs=2, parallelism="weights",
+                           backend="sparse", precision="fast",
+                           n_iter=4, random_state=0)
